@@ -1,0 +1,97 @@
+"""On-device data augmentation (jit-compiled, batched, RNG-keyed).
+
+Capability parity with the reference's torchvision transform stack
+(``src/data_processing/augmentations.py:5-26``): Resize (a no-op here — the
+packed dataset is already stored at ``image_size``), RandomHorizontalFlip
+(p=0.5), RandomRotation(±deg), ColorJitter(brightness), each gated by the
+``augmentation`` config section — but executed inside the jitted train step on
+TPU instead of in DataLoader worker processes.
+
+Design notes (TPU-first):
+- all ops are shape-static and batched: per-image random draws come from one
+  ``jax.random`` key, flips are a ``jnp.where`` select, rotation is a single
+  gather via bilinear sampling (vectorized over the batch with ``vmap``),
+- rotation uses bilinear interpolation with zero fill (torchvision's default
+  is nearest; bilinear is strictly higher-quality and differentiable —
+  deviation documented, augmentation RNG differs from torch anyway).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def random_hflip(key, x: jnp.ndarray) -> jnp.ndarray:
+    """Per-image horizontal flip with p=0.5.  x: (B, H, W, C) float."""
+    b = x.shape[0]
+    flip = jax.random.bernoulli(key, 0.5, shape=(b,))
+    return jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+
+
+def _rotate_one(img: jnp.ndarray, angle_rad: jnp.ndarray) -> jnp.ndarray:
+    """Rotate one (H, W, C) image about its center, bilinear, zero fill."""
+    h, w, c = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    yc = yy - cy
+    xc = xx - cx
+    cos, sin = jnp.cos(angle_rad), jnp.sin(angle_rad)
+    # inverse map: output pixel samples from rotated source coordinate
+    src_y = cos * yc - sin * xc + cy
+    src_x = sin * yc + cos * xc + cx
+    coords = jnp.stack([src_y.ravel(), src_x.ravel()])
+
+    def sample_channel(ch):
+        return jax.scipy.ndimage.map_coordinates(
+            ch, coords, order=1, mode="constant", cval=0.0
+        ).reshape(h, w)
+
+    return jnp.stack([sample_channel(img[..., i]) for i in range(c)], axis=-1)
+
+
+def random_rotation(key, x: jnp.ndarray, degrees: float) -> jnp.ndarray:
+    """Per-image rotation with angle ~ U[-degrees, +degrees]."""
+    b = x.shape[0]
+    max_rad = math.radians(float(degrees))
+    angles = jax.random.uniform(key, (b,), minval=-max_rad, maxval=max_rad)
+    return jax.vmap(_rotate_one)(x, angles)
+
+
+def random_brightness(key, x: jnp.ndarray, brightness: float) -> jnp.ndarray:
+    """torchvision ColorJitter(brightness=b): factor ~ U[max(0,1-b), 1+b]."""
+    b = x.shape[0]
+    lo = max(0.0, 1.0 - float(brightness))
+    hi = 1.0 + float(brightness)
+    factors = jax.random.uniform(key, (b,), minval=lo, maxval=hi)
+    return jnp.clip(x * factors[:, None, None, None], 0.0, 1.0)
+
+
+@partial(jax.jit, static_argnames=("use_flip", "degrees", "brightness"))
+def augment_batch(key, x: jnp.ndarray, *, use_flip: bool = True,
+                  degrees: float = 0.0, brightness: float = 0.0) -> jnp.ndarray:
+    """Apply the configured augmentation stack in the reference's order
+    (flip → rotate → brightness, ``augmentations.py:9-17``)."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    if use_flip:
+        x = random_hflip(k1, x)
+    if degrees and degrees > 0:
+        x = random_rotation(k2, x, degrees)
+    if brightness and brightness > 0:
+        x = random_brightness(k3, x, brightness)
+    return x
+
+
+def augment_config_kwargs(cfg) -> dict:
+    """Static kwargs for :func:`augment_batch` from the ``augmentation`` section."""
+    a = cfg.augmentation
+    if not a.use_augmentations:
+        return {"use_flip": False, "degrees": 0.0, "brightness": 0.0}
+    return {
+        "use_flip": bool(a.horizontal_flip),
+        "degrees": float(a.rotation_degrees or 0.0),
+        "brightness": float(a.brightness or 0.0),
+    }

@@ -1,0 +1,220 @@
+"""Sharded checkpoints with reference-compatible naming and CLI surface.
+
+Capability parity with reference ``src/utils/brain_tumor_utils/io.py:14-70``:
+
+- shard files named ``<base>_shard{i}<ext>`` next to the base path
+  (reference ``io.py:8-11``); we keep the reference's ``.pt`` extension for the
+  run-directory surface even though the payload is a NumPy zip archive, so
+  ``--resume best|latest`` and ``scripts/reshard_checkpoint.py`` work
+  identically.
+- ``model_state`` keys are sorted then distributed round-robin across shards
+  (reference ``io.py:23-28``).
+- load autodetects shard count by globbing, merges ``model_state``, takes
+  metadata from the first shard, and falls back to a single base file
+  (reference ``io.py:42-70``).
+
+Deviation (documented; SURVEY.md quirk list): the reference duplicates the
+full optimizer state into every shard (``io.py:32-35``), defeating the size
+reduction.  We shard ``optim_state`` round-robin by key as well; metadata
+scalars only are duplicated.
+
+Payload schema (a plain dict):
+    ``{"epoch": int, "total_steps": int, "model_state": {flatkey: ndarray},
+       "optim_state": {flatkey: ndarray}, ...scalar extras...}``
+
+Pytrees (flax params, optax states) are converted to/from flat
+``{path: array}`` dicts with :func:`flatten_pytree` / :func:`unflatten_like`.
+"""
+
+from __future__ import annotations
+
+import glob
+import io as _io
+import json
+import os
+import zipfile
+
+import jax
+import numpy as np
+
+_META_KEY = "__meta__"
+_ARRAY_SECTIONS = ("model_state", "optim_state")
+
+
+# ---------------------------------------------------------------------------
+# pytree <-> flat dict
+# ---------------------------------------------------------------------------
+
+def _format_path(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:  # pragma: no cover
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def flatten_pytree(tree) -> dict:
+    """Flatten an arbitrary pytree of arrays into ``{"a/b/0": ndarray}``."""
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        flat[_format_path(path)] = np.asarray(leaf)
+    return flat
+
+
+def unflatten_like(target_tree, flat: dict):
+    """Rebuild a pytree with the structure of ``target_tree`` from a flat dict.
+
+    Leaves are matched by flattened path; dtypes/shapes are validated against
+    the target leaves so a checkpoint/model mismatch fails loudly.
+    """
+    paths_and_leaves = jax.tree_util.tree_flatten_with_path(target_tree)
+    treedef = paths_and_leaves[1]
+    new_leaves = []
+    for path, leaf in paths_and_leaves[0]:
+        key = _format_path(path)
+        if key not in flat:
+            raise KeyError(f"Checkpoint missing parameter {key!r}")
+        arr = np.asarray(flat[key])
+        if hasattr(leaf, "shape") and tuple(arr.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"Shape mismatch for {key!r}: checkpoint {arr.shape} vs model {leaf.shape}"
+            )
+        if hasattr(leaf, "dtype"):
+            arr = arr.astype(leaf.dtype)
+        new_leaves.append(arr)
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+# ---------------------------------------------------------------------------
+# shard paths
+# ---------------------------------------------------------------------------
+
+def _shard_paths(base_path: str, num_shards: int):
+    root, ext = os.path.splitext(base_path)
+    suffix = ext if ext else ".pt"
+    return [f"{root}_shard{i}{suffix}" for i in range(num_shards)]
+
+
+# ---------------------------------------------------------------------------
+# save / load
+# ---------------------------------------------------------------------------
+
+def _write_shard(path: str, arrays: dict, meta: dict) -> None:
+    """Write one shard as an uncompressed zip of ``.npy`` members + meta JSON."""
+    tmp = path + ".tmp"
+    with zipfile.ZipFile(tmp, "w", compression=zipfile.ZIP_STORED) as zf:
+        zf.writestr(_META_KEY + ".json", json.dumps(meta))
+        for key, arr in arrays.items():
+            buf = _io.BytesIO()
+            np.save(buf, np.asarray(arr), allow_pickle=False)
+            zf.writestr(key + ".npy", buf.getvalue())
+    os.replace(tmp, path)
+
+
+def _read_shard(path: str):
+    arrays = {}
+    meta = {}
+    with zipfile.ZipFile(path, "r") as zf:
+        for name in zf.namelist():
+            if name == _META_KEY + ".json":
+                meta = json.loads(zf.read(name).decode("utf-8"))
+            elif name.endswith(".npy"):
+                buf = _io.BytesIO(zf.read(name))
+                arrays[name[: -len(".npy")]] = np.load(buf, allow_pickle=False)
+    return arrays, meta
+
+
+def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):
+    """Save ``payload`` split across ``num_shards`` files (reference ``io.py:14-39``)."""
+    parent = os.path.dirname(base_path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    model_state = payload.get("model_state")
+    if model_state is None:
+        raise ValueError("payload missing model_state for sharded checkpoint save")
+    if num_shards < 1:
+        num_shards = 1
+
+    sections = {}
+    for sec in _ARRAY_SECTIONS:
+        state = payload.get(sec) or {}
+        keys = sorted(state.keys())
+        per_shard = [[] for _ in range(num_shards)]
+        for idx, k in enumerate(keys):
+            per_shard[idx % num_shards].append(k)
+        sections[sec] = (state, per_shard)
+
+    meta_base = {
+        k: v
+        for k, v in payload.items()
+        if k not in _ARRAY_SECTIONS and _json_scalar(v)
+    }
+
+    paths = _shard_paths(base_path, num_shards)
+    for shard_idx, shard_path in enumerate(paths):
+        arrays = {}
+        for sec, (state, per_shard) in sections.items():
+            for k in per_shard[shard_idx]:
+                arrays[f"{sec}/{k}"] = state[k]
+        meta = dict(meta_base)
+        meta["shard_id"] = shard_idx
+        meta["num_shards"] = num_shards
+        _write_shard(shard_path, arrays, meta)
+    if os.path.exists(base_path):
+        os.remove(base_path)
+    return paths
+
+
+def _json_scalar(v) -> bool:
+    try:
+        json.dumps(v)
+        return True
+    except (TypeError, ValueError):
+        return False
+
+
+def load_sharded_checkpoint(base_path: str, num_shards: int | None = None) -> dict:
+    """Load a sharded checkpoint; merges shards (reference ``io.py:42-70``)."""
+    root, ext = os.path.splitext(base_path)
+    suffix = ext if ext else ".pt"
+    shard_paths = []
+    if num_shards is None:
+        shard_paths = sorted(glob.glob(f"{root}_shard*{suffix}"))
+        if shard_paths:
+            num_shards = len(shard_paths)
+    if not shard_paths and num_shards is not None:
+        shard_paths = _shard_paths(base_path, num_shards)
+
+    if shard_paths and all(os.path.exists(p) for p in shard_paths):
+        merged = {sec: {} for sec in _ARRAY_SECTIONS}
+        meta = {}
+        for p in shard_paths:
+            arrays, shard_meta = _read_shard(p)
+            for key, arr in arrays.items():
+                sec, _, rest = key.partition("/")
+                merged.setdefault(sec, {})[rest] = arr
+            if not meta:
+                meta = {
+                    k: v
+                    for k, v in shard_meta.items()
+                    if k not in ("shard_id", "num_shards")
+                }
+        out = dict(meta)
+        for sec in _ARRAY_SECTIONS:
+            if merged.get(sec):
+                out[sec] = merged[sec]
+        return out
+    if os.path.exists(base_path):
+        arrays, meta = _read_shard(base_path)
+        out = dict(meta)
+        for key, arr in arrays.items():
+            sec, _, rest = key.partition("/")
+            out.setdefault(sec, {})[rest] = arr
+        return out
+    raise FileNotFoundError(f"No checkpoint found at {base_path} or shards")

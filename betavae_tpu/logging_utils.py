@@ -1,0 +1,79 @@
+"""Structured logging: the ``CONFIG {json}`` / ``METRICS {json}`` protocol.
+
+Byte-compatible with the reference log-line protocol
+(``src/utils/brain_tumor_utils/logger.py:10-43``): every metrics record is a
+single line ``<ts> | <LEVEL> | METRICS {"phase": ..., "step": ..., ...}`` so
+the downstream plot/repair scripts (``scripts/plot_phase_losses.py:26-41``,
+``scripts/plot_logs.py``, ``scripts/fix_steps.py:13-38``) can parse our logs
+and the reference's interchangeably.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import sys
+
+from .config import get_config
+
+_logger = None
+
+
+def _json_safe(v):
+    """JSON-encode NaN/inf the way the reference does (json allows NaN)."""
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return v
+    return v
+
+
+def init_logger(name: str = "beta_vae_se") -> logging.Logger:
+    """Singleton stdout(+file) logger (reference ``logger.py:10-32``)."""
+    global _logger
+    if _logger is not None:
+        return _logger
+    cfg = get_config()
+    level = getattr(logging, str(cfg.logging.log_level).upper(), logging.INFO)
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.propagate = False
+    if not logger.handlers:
+        fmt = logging.Formatter("%(asctime)s | %(levelname)s | %(message)s")
+        sh = logging.StreamHandler(sys.stdout)
+        sh.setFormatter(fmt)
+        logger.addHandler(sh)
+        if cfg.logging.log_to_file:
+            run_id = cfg.paths.run_id
+            log_dir = os.path.join(cfg.paths.outputs_dir, "logs")
+            os.makedirs(log_dir, exist_ok=True)
+            fh = logging.FileHandler(os.path.join(log_dir, f"{run_id}.log"))
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
+    _logger = logger
+    return logger
+
+
+def reset_logger() -> None:
+    """Drop the logger singleton and close its handlers (tests)."""
+    global _logger
+    if _logger is not None:
+        for h in list(_logger.handlers):
+            h.close()
+            _logger.removeHandler(h)
+    _logger = None
+
+
+def log_config() -> None:
+    """``CONFIG {json}`` line (reference ``logger.py:34-37``)."""
+    logger = init_logger()
+    cfg = get_config().to_dict()
+    logger.info("CONFIG " + json.dumps(cfg))
+
+
+def log_metrics(metrics: dict, step=None, phase: str = "train") -> None:
+    """``METRICS {json}`` line with phase/step first (reference ``logger.py:39-43``)."""
+    logger = init_logger()
+    payload = {"phase": phase, "step": step}
+    payload.update({k: _json_safe(v) for k, v in metrics.items()})
+    logger.info("METRICS " + json.dumps(payload))

@@ -1,0 +1,336 @@
+"""Conv β-VAE with SE blocks — the flagship model, TPU-native.
+
+Capability parity with reference ``src/models/beta_vae.py:68-287``:
+
+- encoder: ``num_blocks`` × [3×3 stride-2 conv → norm → act → SE (always on)]
+  with channel widths ``base·2^i`` (ref ``beta_vae.py:33-46,94-100``),
+- pooling ``flatten`` or ``gap`` (ref ``beta_vae.py:101-116``) then
+  ``fc_mu`` / ``fc_logvar`` / ``fc_dec`` (ref ``beta_vae.py:117-119``),
+- decoder: mirrored blocks of [bilinear ×2 upsample → 3×3 conv → norm → act →
+  optional SE] (NOT transposed conv; ref ``beta_vae.py:48-66,120-126``) and a
+  final 3×3 conv + sigmoid (ref ``beta_vae.py:127,163-164``),
+- norms: ``batch`` → BatchNorm, ``layer`` → GroupNorm(1 group) (per-sample
+  over C,H,W like torch ``GroupNorm(1, C)``), ``none`` (ref
+  ``beta_vae.py:17-24``); activations relu / leakyrelu(0.2) / elu (ref
+  ``beta_vae.py:8-15``),
+- logvar clamped to ``model.logvar_clamp`` else ±10 (ref ``beta_vae.py:141-144``),
+  optional latent clamp before decode (ref ``beta_vae.py:153-154``),
+- ``forward(x, deterministic)`` 3-state semantics, ``sample_prior``,
+  ``traverse`` (ref ``beta_vae.py:167-183,274-287``).
+
+TPU-first design: NHWC layout (native TPU conv layout), static shapes (the
+torch dummy-forward shape probe at ``beta_vae.py:108-115`` is replaced by
+closed-form ``image_size / 2^num_blocks``), Kaiming-normal init matching the
+reference's ``weight_init`` (``train.py:217-221``), and a ``dtype`` compute
+policy: bf16 activations under mixed precision with fp32 params and fp32
+mu/logvar heads (KL and sampling stay fp32).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import get, get_config
+from ..ops.reparam import reparameterize_and_kl
+from .se import SEBlock
+
+_kaiming = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _activation(name: str):
+    if name == "relu":
+        return nn.relu
+    if name == "leakyrelu":
+        return partial(nn.leaky_relu, negative_slope=0.2)
+    if name == "elu":
+        return nn.elu
+    raise ValueError("unsupported activation")
+
+
+class _Norm(nn.Module):
+    """norm selector: batch | layer (GroupNorm 1 group) | none."""
+
+    norm_type: str
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if self.norm_type == "batch":
+            return nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                                name="bn")(x)
+        if self.norm_type == "layer":
+            return nn.GroupNorm(num_groups=1, dtype=self.dtype, name="gn")(x)
+        if self.norm_type == "none":
+            return x
+        raise ValueError("unsupported norm")
+
+
+class ConvBlock(nn.Module):
+    out_ch: int
+    norm_type: str
+    activation: str
+    use_se: bool
+    se_reduction: int
+    down: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        stride = 2 if self.down else 1
+        x = nn.Conv(self.out_ch, (3, 3), strides=(stride, stride), padding=1,
+                    dtype=self.dtype, kernel_init=_kaiming, name="conv")(x)
+        x = _Norm(self.norm_type, dtype=self.dtype, name="norm")(x, train)
+        x = _activation(self.activation)(x)
+        if self.use_se:
+            x = SEBlock(self.out_ch, self.se_reduction, dtype=self.dtype,
+                        name="se")(x)
+        return x
+
+
+class DeconvBlock(nn.Module):
+    out_ch: int
+    norm_type: str
+    activation: str
+    use_se: bool
+    se_reduction: int
+    up: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        if self.up:
+            b, h, w, c = x.shape
+            # bilinear ×2 upsample; jax.image.resize uses half-pixel centers,
+            # i.e. torch Upsample(align_corners=False) semantics.
+            x = jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")
+        x = nn.Conv(self.out_ch, (3, 3), strides=(1, 1), padding=1,
+                    dtype=self.dtype, kernel_init=_kaiming, name="conv")(x)
+        x = _Norm(self.norm_type, dtype=self.dtype, name="norm")(x, train)
+        x = _activation(self.activation)(x)
+        if self.use_se:
+            x = SEBlock(self.out_ch, self.se_reduction, dtype=self.dtype,
+                        name="se")(x)
+        return x
+
+
+class BetaVAEModule(nn.Module):
+    """Pure flax module.  Inputs/outputs NHWC float in [0, 1]."""
+
+    image_size: int
+    in_channels: int
+    latent_dim: int
+    base_channels: int
+    num_blocks: int
+    activation: str = "relu"
+    norm_type: str = "layer"
+    se_reduction: int = 16
+    use_decoder_se: bool = True
+    encoder_pooling: str = "flatten"     # flatten | gap
+    logvar_clamp: Optional[Sequence[float]] = None
+    latent_clamp: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def channel_widths(self):
+        return [self.base_channels * (2**i) for i in range(self.num_blocks)]
+
+    @property
+    def bottleneck_hw(self) -> int:
+        s = self.image_size
+        for _ in range(self.num_blocks):
+            s = (s + 1) // 2  # stride-2 conv with padding 1: ceil(s/2)
+        return s
+
+    @property
+    def flat_dim(self) -> int:
+        if self.encoder_pooling == "gap":
+            return self.channel_widths[-1]
+        return self.channel_widths[-1] * self.bottleneck_hw**2
+
+    def setup(self):
+        chs = self.channel_widths
+        self.encoder = [
+            ConvBlock(chs[i], self.norm_type, self.activation, True,
+                      self.se_reduction, down=True, dtype=self.dtype,
+                      name=f"enc_{i}")
+            for i in range(self.num_blocks)
+        ]
+        self.fc_mu = nn.Dense(self.latent_dim, kernel_init=_kaiming,
+                              dtype=jnp.float32, name="fc_mu")
+        self.fc_logvar = nn.Dense(self.latent_dim, kernel_init=_kaiming,
+                                  dtype=jnp.float32, name="fc_logvar")
+        self.fc_dec = nn.Dense(self.flat_dim, kernel_init=_kaiming,
+                               dtype=self.dtype, name="fc_dec")
+        # decoder channels mirror the encoder (ref beta_vae.py:120-126):
+        # dec_chs = reversed(chs); block i maps dec_chs[i] -> dec_chs[i+1]
+        # (last block keeps the final width).
+        dec_chs = list(reversed(chs))
+        self.decoder = [
+            DeconvBlock(
+                dec_chs[i + 1] if i + 1 < len(dec_chs) else dec_chs[-1],
+                self.norm_type, self.activation, self.use_decoder_se,
+                self.se_reduction, up=True, dtype=self.dtype, name=f"dec_{i}",
+            )
+            for i in range(self.num_blocks)
+        ]
+        self.final_conv = nn.Conv(self.in_channels, (3, 3), padding=1,
+                                  dtype=self.dtype, kernel_init=_kaiming,
+                                  name="final_conv")
+
+    def encode(self, x, train: bool = False):
+        h = x.astype(self.dtype)
+        for blk in self.encoder:
+            h = blk(h, train=train)
+        if self.encoder_pooling == "gap":
+            h = jnp.mean(h, axis=(1, 2))
+        else:
+            h = h.reshape(h.shape[0], -1)
+        h = h.astype(jnp.float32)
+        mu = self.fc_mu(h)
+        logvar = self.fc_logvar(h)
+        lo, hi = (self.logvar_clamp if self.logvar_clamp else (-10.0, 10.0))
+        logvar = jnp.clip(logvar, lo, hi)
+        return mu, logvar
+
+    def decode(self, z, train: bool = False):
+        if self.latent_clamp is not None:
+            z = jnp.clip(z, -self.latent_clamp, self.latent_clamp)
+        h = self.fc_dec(z.astype(self.dtype))
+        s = self.bottleneck_hw
+        c = self.channel_widths[-1]
+        if self.encoder_pooling == "gap":
+            # broadcast the GAP vector over the bottleneck spatial grid
+            # (ref beta_vae.py:156-159)
+            h = jnp.broadcast_to(h[:, None, None, :], (h.shape[0], s, s, c))
+        else:
+            h = h.reshape(h.shape[0], s, s, c)
+        for blk in self.decoder:
+            h = blk(h, train=train)
+        x = self.final_conv(h)
+        return nn.sigmoid(x.astype(jnp.float32))
+
+    def __call__(self, x, z_rng=None, deterministic: bool = False,
+                 train: bool = False):
+        mu, logvar = self.encode(x, train=train)
+        if deterministic:
+            z = mu
+        else:
+            if z_rng is None:
+                z_rng = self.make_rng("reparam")
+            z, _ = reparameterize_and_kl(z_rng, mu, logvar)
+        recon = self.decode(z, train=train)
+        return recon, mu, logvar, z
+
+
+@dataclass
+class BetaVAE:
+    """Config-bound convenience wrapper (the reference's ``BetaVAE`` surface).
+
+    Holds the flax module + config-derived loss attributes and exposes jitted
+    ``encode/decode/forward/sample_prior/traverse`` over explicit variables.
+    """
+
+    module: BetaVAEModule
+    cfg: Any = None
+    deterministic: bool = False
+    latent_reg_lambda: float = 0.0
+    recon_loss_type: str = "mse"
+    beta: float = 1.0
+
+    def __post_init__(self):
+        self._encode_j = jax.jit(
+            lambda v, x: self.module.apply(v, x, method=BetaVAEModule.encode)
+        )
+        self._decode_j = jax.jit(
+            lambda v, z: self.module.apply(v, z, method=BetaVAEModule.decode)
+        )
+        self._forward_det_j = jax.jit(
+            lambda v, x: self.module.apply(v, x, deterministic=True)
+        )
+        self._forward_sto_j = jax.jit(
+            lambda v, x, key: self.module.apply(v, x, z_rng=key,
+                                                deterministic=False)
+        )
+
+    @property
+    def latent_dim(self) -> int:
+        return self.module.latent_dim
+
+    def init_variables(self, key) -> dict:
+        x = jnp.zeros(
+            (1, self.module.image_size, self.module.image_size,
+             self.module.in_channels),
+            jnp.float32,
+        )
+        params_key, rp_key = jax.random.split(key)
+        return self.module.init(
+            {"params": params_key, "reparam": rp_key}, x, train=False
+        )
+
+    def encode(self, variables, x):
+        return self._encode_j(variables, jnp.asarray(x))
+
+    def decode(self, variables, z):
+        return self._decode_j(variables, jnp.asarray(z))
+
+    def forward(self, variables, x, key=None, deterministic: bool | None = None):
+        if deterministic is None:
+            deterministic = self.deterministic
+        x = jnp.asarray(x)
+        if deterministic:
+            return self._forward_det_j(variables, x)
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return self._forward_sto_j(variables, x, key)
+
+    def sample_prior(self, variables, n: int, key):
+        z = jax.random.normal(key, (n, self.latent_dim), dtype=jnp.float32)
+        return self.decode(variables, z)
+
+    def traverse(self, variables, x, dim: int, steps: int = 7, span: float = 3.0):
+        """Single-dim set-to-value sweep (ref ``beta_vae.py:278-287``)."""
+        mu, _ = self.encode(variables, x)
+        vals = jnp.linspace(-span, span, steps)
+        outs = []
+        for v in vals:
+            z = mu.at[:, dim].set(v)
+            outs.append(self.decode(variables, z))
+        return jnp.stack(outs, axis=1), vals
+
+
+def model_from_config(cfg=None, mixed_precision: bool | None = None) -> BetaVAE:
+    """Build the flagship model from the active config (ref ``beta_vae.py:69-129``)."""
+    cfg = cfg or get_config()
+    mcfg, dcfg = cfg.model, cfg.data
+    if mixed_precision is None:
+        mixed_precision = bool(get(cfg.training, "mixed_precision", False))
+    logvar_clamp = get(mcfg, "logvar_clamp", None)
+    module = BetaVAEModule(
+        image_size=int(dcfg.image_size),
+        in_channels=1 if dcfg.grayscale else 3,
+        latent_dim=int(mcfg.latent_dim),
+        base_channels=int(mcfg.base_channels),
+        num_blocks=int(mcfg.num_blocks),
+        activation=str(mcfg.activation),
+        norm_type=str(mcfg.encoder_norm),
+        se_reduction=int(mcfg.se_reduction_ratio),
+        use_decoder_se=bool(mcfg.use_decoder_se),
+        encoder_pooling=str(get(mcfg, "encoder_pooling", "flatten")),
+        logvar_clamp=tuple(logvar_clamp) if logvar_clamp else None,
+        latent_clamp=get(mcfg, "latent_clamp", None),
+        dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+    )
+    return BetaVAE(
+        module=module,
+        cfg=cfg,
+        deterministic=bool(get(mcfg, "deterministic_overfit", False)),
+        latent_reg_lambda=float(get(mcfg, "latent_reg_lambda", 0.0)),
+        recon_loss_type=str(mcfg.reconstruction_loss),
+        beta=float(mcfg.beta),
+    )

@@ -1,0 +1,87 @@
+"""Focal Frequency Loss (fp32 FFT path).
+
+Capability parity with reference ``src/training/losses.py:5-35``: ortho-normed
+2-D FFT of pred/target, squared spectral distance, focal weight
+``(dist / mean_dist)^alpha`` with the mean taken over batch+spatial axes
+(per-channel denominator, matching torch ``dim=(0,2,3)`` on NCHW), clamped at
+``eps`` then applied multiplicatively; final mean reduction.
+
+Numerics: the reference deliberately runs this in fp32 with autocast disabled
+(``losses.py:20-34``); here inputs are cast to fp32 before the FFT so the same
+policy holds under the bf16 training policy.  Inputs are NHWC; the FFT runs
+over the spatial axes (1, 2).
+
+TPU note: instead of an FFT primitive (not available on all TPU toolchains and
+latency-bound at 128-256 px), the 2-D DFT is computed as two dense matmuls
+with precomputed ortho DFT matrices — ``F_H · X · F_Wᵀ`` — which maps
+directly onto the MXU.  At these image sizes the matmul DFT is both portable
+and fast; numerically it matches ``fft2`` to fp32 tolerance (unit-tested).
+Only the squared modulus of the spectrum difference is needed, so everything
+stays in real arithmetic: 4 real matmuls per transform.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@lru_cache(maxsize=8)
+def _dft_matrices(n: int):
+    """Ortho-normalized DFT matrix split into (cos, -sin) real parts."""
+    k = np.arange(n)
+    ang = -2.0 * np.pi * np.outer(k, k) / n
+    scale = 1.0 / np.sqrt(n)
+    return (
+        jnp.asarray(np.cos(ang) * scale, jnp.float32),
+        jnp.asarray(np.sin(ang) * scale, jnp.float32),
+    )
+
+
+def _dft2_real_imag(x: jnp.ndarray):
+    """2-D ortho DFT of real NHWC input via MXU matmuls.
+
+    Returns (real, imag) of shape (B, H, W, C).
+    F2(X) = F_H · X · F_Wᵀ with F = C + iS (S carries the -sin sign):
+      real = C_h·X·C_wᵀ - S_h·X·S_wᵀ ;  imag = C_h·X·S_wᵀ + S_h·X·C_wᵀ
+    (F symmetric ⇒ transposes drop out).
+    """
+    b, h, w, c = x.shape
+    ch, sh = _dft_matrices(h)
+    cw, sw = _dft_matrices(w)
+    # contract H axis: (B,H,W,C) -> (B,H',W,C)
+    xc = jnp.einsum("hk,bkwc->bhwc", ch, x, preferred_element_type=jnp.float32,
+                   precision="highest")
+    xs = jnp.einsum("hk,bkwc->bhwc", sh, x, preferred_element_type=jnp.float32,
+                   precision="highest")
+    # contract W axis
+    real = (
+        jnp.einsum("wk,bhkc->bhwc", cw, xc, preferred_element_type=jnp.float32,
+                   precision="highest")
+        - jnp.einsum("wk,bhkc->bhwc", sw, xs, preferred_element_type=jnp.float32,
+                   precision="highest")
+    )
+    imag = (
+        jnp.einsum("wk,bhkc->bhwc", sw, xc, preferred_element_type=jnp.float32,
+                   precision="highest")
+        + jnp.einsum("wk,bhkc->bhwc", cw, xs, preferred_element_type=jnp.float32,
+                   precision="highest")
+    )
+    return real, imag
+
+
+def focal_frequency_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                         alpha: float = 1.0, eps: float = 1e-8) -> jnp.ndarray:
+    if pred.shape != target.shape:
+        raise ValueError(f"Shape mismatch: pred {pred.shape} vs target {target.shape}")
+    # DFT is linear: transform the difference once instead of pred and target
+    # separately (same math as ref losses.py:27-29, half the matmuls).
+    diff = pred.astype(jnp.float32) - target.astype(jnp.float32)
+    re, im = _dft2_real_imag(diff)
+    dist = re**2 + im**2
+
+    denom = jnp.mean(dist, axis=(0, 1, 2), keepdims=True) + eps
+    weight = jnp.clip(dist / denom, a_min=eps) ** alpha
+    return jnp.mean(weight * dist)

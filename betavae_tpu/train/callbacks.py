@@ -1,0 +1,85 @@
+"""Training callbacks: early stopping + checkpoint management.
+
+Capability parity with reference ``src/training/callbacks.py:32-89``:
+
+- :class:`EarlyStopping`: patience / min_delta / min-or-max monitoring
+  (ref ``callbacks.py:32-51``),
+- :class:`CheckpointManager`: ``save_latest`` every epoch and monitored
+  ``save_best`` (val_total, min) as 2-way sharded checkpoints named
+  ``<run_id>_{latest,best}.pt`` (ref ``callbacks.py:53-89``), payload
+  ``{epoch, total_steps, model_state, optim_state, val_total}``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from ..config import get_config
+from ..io.checkpoint import flatten_pytree, save_sharded_checkpoint
+
+
+class EarlyStopping:
+    def __init__(self, patience: int = 20, min_delta: float = 0.0, mode: str = "min"):
+        self.patience = patience
+        self.min_delta = min_delta
+        self.mode = mode
+        self.best = None
+        self.num_bad = 0
+        self.should_stop = False
+
+    def update(self, value: float) -> None:
+        if self.best is None:
+            self.best = value
+            return
+        improve = (
+            value < self.best - self.min_delta
+            if self.mode == "min"
+            else value > self.best + self.min_delta
+        )
+        if improve:
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad >= self.patience:
+                self.should_stop = True
+
+
+class CheckpointManager:
+    """Saves jitted-state snapshots with reference-compatible naming."""
+
+    def __init__(self, num_shards: int = 2):
+        cfg = get_config()
+        self.dir = cfg.paths.models_dir
+        os.makedirs(self.dir, exist_ok=True)
+        self.run_id = cfg.paths.run_id
+        self.num_shards = num_shards
+        self.best_value = None
+
+    def _payload(self, state, epoch: int, total_steps: int, extra: dict) -> dict:
+        return {
+            "epoch": int(epoch),
+            "total_steps": int(total_steps),
+            "model_state": flatten_pytree(state.model_variables()),
+            "optim_state": flatten_pytree(state.opt_state),
+            **{k: (float(v) if hasattr(v, "__float__") else v)
+               for k, v in extra.items()},
+        }
+
+    def save_latest(self, state, epoch: int, total_steps: int, extra: dict):
+        path = os.path.join(self.dir, f"{self.run_id}_latest.pt")
+        return save_sharded_checkpoint(
+            path, self._payload(state, epoch, total_steps, extra),
+            num_shards=self.num_shards,
+        )
+
+    def save_best(self, state, epoch: int, total_steps: int, extra: dict,
+                  monitor_value: float):
+        if self.best_value is None or monitor_value < self.best_value:
+            self.best_value = monitor_value
+            path = os.path.join(self.dir, f"{self.run_id}_best.pt")
+            return save_sharded_checkpoint(
+                path, self._payload(state, epoch, total_steps, extra),
+                num_shards=self.num_shards,
+            )
+        return None

@@ -1,0 +1,540 @@
+"""The training loop: one fused jitted step + the epoch driver.
+
+Capability parity with reference ``src/training/train.py:223-485`` (call stack
+in SURVEY.md §3.1): seeded setup, debug-config gates, β/capacity schedules
+(β at ``epoch-1``, capacity at ``epoch``, free-bits only when capacity is off
+— reference quirks preserved, ``train.py:296-300``), running-average train
+metrics logged every ``log_every_n_steps``, per-epoch stochastic validation
+with latent collection, sklearn probe metrics, latest/best sharded
+checkpoints, deterministic reconstruction panels, early stopping
+(patience=20), and ``--resume best|latest``.
+
+TPU-first design (vs the reference's eager loop):
+
+- ONE jitted ``train_step`` with donated state: gather batch from the
+  device-resident uint8 dataset → on-device augmentation → forward/loss/
+  backward → optax update, all in a single XLA program.  The reference's
+  per-step ``.item()`` syncs (``train.py:335-344``) become asynchronous
+  device-scalar accumulation; the host only materializes floats on log steps.
+- the learning-rate schedule is computed on host (pure function of
+  epoch/step, ``schedules.lr_at``) and injected as a traced scalar — no
+  recompilation, no optimizer-state replay on resume.
+- fixed batch shapes via index padding + validity masks: exactly one compile
+  per (train/eval) step for the whole run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import get, get_config
+from ..data.augment import augment_batch, augment_config_kwargs
+from ..data.dataset import build_datasets
+from ..data.pipeline import BatchPlan, DeviceData, gather_batch
+from ..eval.probes import compute_probe_metrics
+from ..io.artifacts import ensure_dirs, save_image_grid
+from ..io.checkpoint import (flatten_pytree, load_sharded_checkpoint,
+                             unflatten_like)
+from ..logging_utils import init_logger, log_config, log_metrics
+from ..models.beta_vae import BetaVAE, model_from_config
+from ..models.losses import LossSpec, compute_loss, loss_spec_from_config
+from ..ops.reparam import reparameterize_and_kl
+from .callbacks import CheckpointManager, EarlyStopping
+from .optim import build_optimizer
+from .schedules import lr_at, schedules_from_config
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None
+
+    def model_variables(self) -> dict:
+        v = {"params": self.params}
+        if self.batch_stats is not None:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    msum = jnp.maximum(mask.sum(), 1.0)
+    return jnp.sum(jnp.mean(x, axis=tuple(range(1, x.ndim))) * mask) / msum
+
+
+def _masked_std(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Unbiased std over masked rows (torch ``Tensor.std()`` semantics)."""
+    d = x.shape[1] if x.ndim > 1 else 1
+    n = jnp.maximum(mask.sum() * d, 2.0)
+    m = mask[:, None] if x.ndim > 1 else mask
+    mean = jnp.sum(x * m) / n
+    var = jnp.sum(((x - mean) ** 2) * m) / (n - 1.0)
+    return jnp.sqrt(var)
+
+
+def _forward_with_loss(model: BetaVAE, variables, x, rkey, *, spec: LossSpec,
+                       sched, mask, train: bool, use_capacity: bool,
+                       lpips_fn, mutable_bn: bool):
+    """encode → fused reparam+KL → decode → objective.  Returns (loss_dict, new_bs)."""
+    module = model.module
+    new_bs = None
+    if mutable_bn:
+        (mu, logvar), upd = module.apply(
+            variables, x, train=train, method=module.encode,
+            mutable=["batch_stats"],
+        )
+        variables = {**variables, **upd}
+        new_bs = upd["batch_stats"]
+    else:
+        mu, logvar = module.apply(variables, x, train=train,
+                                  method=module.encode)
+    z, kl_elem = reparameterize_and_kl(rkey, mu, logvar,
+                                       deterministic=spec.deterministic)
+    if mutable_bn:
+        recon, upd = module.apply(variables, z, train=train,
+                                  method=module.decode,
+                                  mutable=["batch_stats"])
+        new_bs = upd["batch_stats"]
+    else:
+        recon = module.apply(variables, z, train=train, method=module.decode)
+    losses = compute_loss(
+        (recon, mu, logvar, z, kl_elem), x,
+        spec=spec,
+        beta=sched["beta"],
+        capacity=sched["capacity"] if use_capacity else None,
+        capacity_weight=sched["capacity_weight"] if use_capacity else None,
+        free_bits=sched["free_bits"],
+        mask=mask,
+        lpips_fn=lpips_fn,
+    )
+    return losses, new_bs
+
+
+def _scalar_metrics(losses, mask) -> dict:
+    return {
+        "total": losses["total"],
+        "recon": losses["recon"],
+        "recon_base": losses["recon_base"],
+        "recon_lpips": losses["recon_lpips"],
+        "recon_ffl": losses["recon_ffl"],
+        "kl_mean": losses["kl_mean"],
+        "kl_effective": losses["kl_effective"],
+        "kl_per_dim_mean": jnp.mean(losses["kl_per_dim"]),
+        "mu_mean_batch": _masked_mean(losses["mu"], mask),
+        "z_std_batch": _masked_std(losses["z"], mask),
+    }
+
+
+def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
+                    use_capacity: bool, lpips_fn=None, has_bn: bool = False,
+                    donate: bool = True):
+    """Build the jitted fused train step.
+
+    Signature: ``(state, images_u8, idx, mask, key, sched) -> (state, metrics)``
+    where ``sched`` is a dict of traced f32 scalars
+    ``{beta, capacity, capacity_weight, free_bits, lr}``.
+    """
+
+    def step(state: TrainState, images, idx, mask, key, sched):
+        akey, rkey = jax.random.split(key)
+        x = gather_batch(images, idx)
+        x = augment_batch(akey, x, **aug_kwargs)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            losses, new_bs = _forward_with_loss(
+                model, variables, x, rkey, spec=spec, sched=sched, mask=mask,
+                train=True, use_capacity=use_capacity, lpips_fn=lpips_fn,
+                mutable_bn=has_bn,
+            )
+            return losses["total"], (losses, new_bs)
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+
+        opt_state = state.opt_state._replace(
+            hyperparams={**state.opt_state.hyperparams,
+                         "learning_rate": sched["lr"]}
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates
+        )
+        new_state = TrainState(
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_bs if has_bn else state.batch_stats,
+        )
+        return new_state, _scalar_metrics(losses, mask)
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: BetaVAE, spec: LossSpec, *, use_capacity: bool,
+                   lpips_fn=None, has_bn: bool = False):
+    """Jitted validation step: stochastic loss + latent means."""
+
+    def step(state: TrainState, images, idx, mask, key, sched):
+        x = gather_batch(images, idx)
+        variables = state.model_variables()
+        losses, _ = _forward_with_loss(
+            model, variables, x, key, spec=spec, sched=sched, mask=mask,
+            train=False, use_capacity=use_capacity, lpips_fn=lpips_fn,
+            mutable_bn=False,
+        )
+        return _scalar_metrics(losses, mask), losses["mu"]
+
+    return jax.jit(step)
+
+
+def init_state(model: BetaVAE, tx, key) -> TrainState:
+    variables = model.init_variables(key)
+    params = variables["params"]
+    return TrainState(
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# reconstruction panels (ref train.py:111-214)
+# ---------------------------------------------------------------------------
+
+def sample_reconstructions(model: BetaVAE, variables, x: np.ndarray, out_dir,
+                           epoch: int, filenames=None, max_images: int = 8):
+    """Deterministic recon panel + diff + stats (ref ``train.py:111-214``).
+
+    Saves ``recon_epoch{e}.png`` (originals row above recons),
+    ``recon_epoch{e}_diff.png`` and ``recon_epoch{e}_stats.json`` (the
+    reference writes a torch ``_stats.pt``; same content as JSON here), and
+    prints the per-image MSE + mean pairwise recon-L2 collapse diagnostic.
+    """
+    x = np.asarray(x)[:max_images]
+    if filenames is not None:
+        filenames = list(filenames)[: x.shape[0]]
+    recon, mu, logvar, z = model.forward(variables, x, deterministic=True)
+    recon = np.clip(np.asarray(recon), 0.0, 1.0)
+
+    per_img_mse = ((recon - x) ** 2).reshape(x.shape[0], -1).mean(axis=1)
+    rflat = recon.reshape(x.shape[0], -1)
+    n = rflat.shape[0]
+    if n > 1:
+        dists = np.sqrt(
+            np.maximum(
+                ((rflat[:, None, :] - rflat[None, :, :]) ** 2).sum(-1), 0.0
+            )
+        )
+        mean_pairwise = float((dists.sum() - np.trace(dists)) / (n * n - n))
+    else:
+        mean_pairwise = 0.0
+    diff = np.abs(recon - x)
+
+    os.makedirs(out_dir, exist_ok=True)
+    panel = np.concatenate([x, recon], axis=0)
+    save_image_grid(panel, os.path.join(out_dir, f"recon_epoch{epoch}.png"),
+                    nrow=x.shape[0], normalize=True)
+    save_image_grid(diff, os.path.join(out_dir, f"recon_epoch{epoch}_diff.png"),
+                    nrow=x.shape[0], normalize=True)
+    stats = {
+        "epoch": int(epoch),
+        "filenames": filenames,
+        "per_image_mse": [float(v) for v in per_img_mse],
+        "mean_per_image_mse": float(per_img_mse.mean()),
+        "mean_pairwise_recon_L2": mean_pairwise,
+        "x_min": float(x.min()), "x_max": float(x.max()),
+        "recon_min": float(recon.min()), "recon_max": float(recon.max()),
+        "recon_mean": float(recon.mean()), "recon_std": float(recon.std()),
+    }
+    with open(os.path.join(out_dir, f"recon_epoch{epoch}_stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(f"[RECON DEBUG] epoch {epoch} per-image MSE: {per_img_mse}")
+    print(f"[RECON DEBUG] epoch {epoch} mean pairwise recon L2: {mean_pairwise:.6f}")
+    return stats
+
+
+# ---------------------------------------------------------------------------
+# the epoch driver
+# ---------------------------------------------------------------------------
+
+def train(resume: str = "none", mesh=None):
+    """Full training run (reference ``train.py:223-478`` call-for-call).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` with a ``data`` axis for
+    data-parallel execution (see ``betavae_tpu.parallel``); default is the
+    single-device path.
+    """
+    cfg = get_config()
+    ensure_dirs()
+    init_logger()
+    log_config()
+    seed = int(cfg.data.seed)
+    np.random.seed(seed)
+    root_key = jax.random.PRNGKey(seed)
+
+    debug_cfg = get(cfg, "debug", None)
+    debug_enabled = bool(debug_cfg and get(debug_cfg, "enabled", False))
+    epochs = int(debug_cfg.epochs if debug_enabled else cfg.training.epochs)
+
+    train_limit = (
+        get(debug_cfg, "train_samples", None) if debug_enabled else None
+    )
+    test_limit = get(debug_cfg, "test_samples", None) if debug_enabled else None
+    train_ds, test_ds = build_datasets(train_limit=train_limit,
+                                       test_limit=test_limit)
+
+    from ..parallel.mesh import batch_sharding, replicate_state
+
+    data_sharding = batch_sharding(mesh) if mesh is not None else None
+    train_dev = DeviceData.from_dataset(train_ds, sharding=None)
+    test_dev = DeviceData.from_dataset(test_ds, sharding=None)
+
+    model = model_from_config(cfg)
+    spec = loss_spec_from_config(cfg)
+    tx = build_optimizer(cfg)
+    state = init_state(model, tx, root_key)
+    if mesh is not None:
+        state = replicate_state(state, mesh)
+
+    beta_sched, cap_sched = schedules_from_config(cfg, total_epochs=epochs)
+    loss_cfg = get(cfg, "loss", None)
+    capacity_weight_cfg = get(loss_cfg, "capacity_weight", None)
+    use_capacity = cap_sched.enabled and capacity_weight_cfg is not None
+    free_bits_cfg = float(get(loss_cfg, "free_bits", 0.0) or 0.0)
+
+    lpips_fn = None
+    if spec.use_lpips and spec.lpips_weight > 0:
+        from ..ops.lpips import build_lpips_fn
+
+        lpips_fn = build_lpips_fn(get(loss_cfg, "lpips_weights_path", None))
+
+    has_bn = state.batch_stats is not None
+    aug_kwargs = augment_config_kwargs(cfg)
+    train_step = make_train_step(model, tx, spec, aug_kwargs=aug_kwargs,
+                                 use_capacity=use_capacity, lpips_fn=lpips_fn,
+                                 has_bn=has_bn)
+    eval_step = make_eval_step(model, spec, use_capacity=use_capacity,
+                               lpips_fn=lpips_fn, has_bn=has_bn)
+
+    early = EarlyStopping(
+        patience=int(get(cfg.training, "early_stopping_patience", 20)),
+        min_delta=0.0, mode="min",
+    )
+    ckpt = CheckpointManager(num_shards=2)
+
+    base_lr = float(cfg.optimization.lr)
+    lr_scheduler = str(cfg.optimization.scheduler)
+
+    start_epoch = 1
+    total_steps = 0
+    if resume in ("best", "latest"):
+        path = os.path.join(cfg.paths.models_dir,
+                            f"{cfg.paths.run_id}_{resume}.pt")
+        try:
+            payload = load_sharded_checkpoint(path)
+        except FileNotFoundError:
+            print(f"[RESUME] Requested '{resume}' but checkpoint not found at "
+                  f"{path}; starting fresh.")
+        else:
+            variables = unflatten_like(state.model_variables(),
+                                       payload["model_state"])
+            opt_state = state.opt_state
+            if "optim_state" in payload:
+                opt_state = unflatten_like(state.opt_state,
+                                           payload["optim_state"])
+            state = TrainState(params=variables["params"], opt_state=opt_state,
+                               batch_stats=variables.get("batch_stats"))
+            start_epoch = int(payload.get("epoch", 0)) + 1
+            total_steps = int(payload.get("total_steps", 0))
+            print(f"[RESUME] Loaded checkpoint '{resume}' from {path}, "
+                  f"restarting at epoch {start_epoch}")
+
+    figures_dir = cfg.paths.figures_dir
+    os.makedirs(figures_dir, exist_ok=True)
+
+    fixed_paths = None
+    if debug_cfg is not None and get(debug_cfg, "fixed_recon_paths", None):
+        fixed_paths = list(debug_cfg.fixed_recon_paths)
+        missing = [p for p in fixed_paths if not os.path.exists(p)]
+        if missing:
+            raise FileNotFoundError(
+                "Some fixed_recon_paths do not exist:\n" + "\n".join(missing)
+            )
+
+    batch_size = int(cfg.training.batch_size)
+    n_dev = len(mesh.devices.flat) if mesh is not None else 1
+    train_plan = BatchPlan(len(train_ds), batch_size, shuffle=True, seed=seed,
+                           pad_multiple=n_dev)
+    test_plan = BatchPlan(len(test_ds), batch_size, shuffle=False, seed=seed,
+                          pad_multiple=n_dev)
+    max_train_batches = (
+        int(debug_cfg.max_train_batches) if debug_enabled else None
+    )
+    max_val_batches = int(debug_cfg.max_val_batches) if debug_enabled else None
+    log_every = int(cfg.logging.log_every_n_steps)
+
+    running_keys = ("total", "recon", "recon_base", "recon_lpips",
+                    "recon_ffl", "kl_mean")
+    del data_sharding  # single-controller path shards via jit in parallel mode
+
+    for epoch in range(start_epoch, epochs + 1):
+        beta = beta_sched.value(epoch - 1)
+        capacity = cap_sched.value(epoch) if cap_sched.enabled else None
+        free_bits = 0.0
+        if capacity is None and loss_cfg is not None and hasattr(loss_cfg, "free_bits"):
+            free_bits = free_bits_cfg
+        lr = lr_at(epoch, total_steps, base_lr=base_lr,
+                   scheduler=lr_scheduler, total_epochs=epochs)
+
+        running = {k: 0.0 for k in running_keys}
+        last = {}
+        denom = 0
+        for i, (idx, mask) in enumerate(train_plan.batches(epoch)):
+            if lr_scheduler.lower() == "step":
+                lr = lr_at(epoch, total_steps, base_lr=base_lr,
+                           scheduler=lr_scheduler, total_epochs=epochs)
+            sched = {
+                "beta": jnp.float32(beta),
+                "capacity": jnp.float32(capacity if capacity is not None else 0.0),
+                "capacity_weight": jnp.float32(
+                    capacity_weight_cfg if capacity_weight_cfg is not None else 1.0
+                ),
+                "free_bits": jnp.float32(free_bits),
+                "lr": jnp.float32(lr),
+            }
+            key = jax.random.fold_in(root_key, total_steps + 1)
+            state, m = train_step(state, train_dev.images, idx, mask, key, sched)
+            # asynchronous device-scalar accumulation; no per-step host sync
+            for k in running_keys:
+                running[k] = running[k] + m[k]
+            last = m
+            denom = i + 1
+            total_steps += 1
+
+            if total_steps % log_every == 0:
+                metrics = {
+                    "epoch": epoch,
+                    "beta": float(beta),
+                    "capacity": float(capacity) if capacity is not None else 0.0,
+                    "train_total_loss": float(running["total"]) / denom,
+                    "train_recon_loss": float(running["recon"]) / denom,
+                    "train_recon_base": float(running["recon_base"]) / denom,
+                    "train_recon_lpips": float(running["recon_lpips"]) / denom,
+                    "train_recon_ffl": float(running["recon_ffl"]) / denom,
+                    "train_kl": float(running["kl_mean"]) / denom,
+                    "train_kl_mean": float(running["kl_mean"]) / denom,
+                    "train_kl_effective_last": float(last["kl_effective"]),
+                    "train_kl_per_dim_mean": float(last["kl_per_dim_mean"]),
+                    "loss_mode": "capacity" if use_capacity else "beta",
+                    "mu_mean_batch": float(last["mu_mean_batch"]),
+                    "z_std_batch": float(last["z_std_batch"]),
+                    "lr": lr,
+                }
+                log_metrics(metrics, step=total_steps, phase="train")
+
+            if max_train_batches is not None and i + 1 >= max_train_batches:
+                break
+
+        final_train_kl_mean = float(running["kl_mean"]) / max(1, denom)
+        final_train_kl_effective = float(last.get("kl_effective", 0.0))
+
+        # ---------------- validation ----------------
+        val_sums = {k: 0.0 for k in running_keys}
+        val_batches = 0
+        val_kl_per_dim_mean = 0.0
+        val_latents = []
+        val_labels = []
+        val_preview = None
+        for j, (idx, mask) in enumerate(test_plan.batches(epoch)):
+            sched = {
+                "beta": jnp.float32(beta),
+                "capacity": jnp.float32(capacity if capacity is not None else 0.0),
+                "capacity_weight": jnp.float32(
+                    capacity_weight_cfg if capacity_weight_cfg is not None else 1.0
+                ),
+                "free_bits": jnp.float32(free_bits),
+                "lr": jnp.float32(lr),
+            }
+            key = jax.random.fold_in(root_key, -(epoch * 100_000 + j) - 1)
+            m, mu = eval_step(state, test_dev.images, idx, mask, key, sched)
+            if val_preview is None:
+                real = int(mask.sum())
+                val_preview = (idx[:real], mask[:real])
+            for k in running_keys:
+                val_sums[k] = val_sums[k] + m[k]
+            val_kl_per_dim_mean = m["kl_per_dim_mean"]
+            real = int(mask.sum())
+            val_latents.append(np.asarray(mu)[:real])
+            val_labels.extend(test_ds.labels[idx[:real]].tolist())
+            val_batches += 1
+            if max_val_batches is not None and j + 1 >= max_val_batches:
+                break
+
+        vb = max(1, val_batches)
+        val_total = float(val_sums["total"]) / vb
+        probe_metrics = {
+            "latent_probe_auc": float("nan"),
+            "best_dim_auc": float("nan"),
+            "best_dim_corr": float("nan"),
+            "best_dim_r2": float("nan"),
+        }
+        if val_latents and len(val_labels) >= 2:
+            probe_metrics = compute_probe_metrics(
+                np.concatenate(val_latents, axis=0), val_labels
+            )
+        metrics = {
+            "epoch": epoch,
+            "beta": float(beta),
+            "capacity": float(capacity) if capacity is not None else 0.0,
+            "val_total_loss": val_total,
+            "val_recon_loss": float(val_sums["recon"]) / vb,
+            "val_recon_base": float(val_sums["recon_base"]) / vb,
+            "val_recon_lpips": float(val_sums["recon_lpips"]) / vb,
+            "val_recon_ffl": float(val_sums["recon_ffl"]) / vb,
+            "val_kl": float(val_sums["kl_mean"]) / vb,
+            "val_kl_per_dim_mean": float(val_kl_per_dim_mean),
+            "loss_mode": "capacity" if use_capacity else "beta",
+            "train_kl_mean": final_train_kl_mean,
+            "train_kl_effective_last": final_train_kl_effective,
+            **probe_metrics,
+        }
+        log_metrics(metrics, step=total_steps, phase="val")
+
+        ckpt.save_latest(state, epoch, total_steps, {"val_total": val_total})
+        ckpt.save_best(state, epoch, total_steps, {"val_total": val_total},
+                       monitor_value=val_total)
+
+        # recon panel on the first val batch (or fixed paths)
+        variables = state.model_variables()
+        if fixed_paths:
+            from ..data.preprocess import _load_image
+
+            imgs = np.stack([
+                _load_image(p, cfg.data.grayscale, size=cfg.data.image_size)
+                for p in fixed_paths[:8]
+            ])
+            sample_reconstructions(model, variables, imgs, figures_dir, epoch,
+                                   filenames=fixed_paths[:8])
+        elif val_preview is not None:
+            idx0 = val_preview[0]
+            imgs = test_ds.images[idx0].astype(np.float32) / 255.0
+            names = [test_ds.paths[k] for k in idx0]
+            sample_reconstructions(model, variables, imgs, figures_dir, epoch,
+                                   filenames=names)
+
+        early.update(val_total)
+        if early.should_stop:
+            break
+
+    return state

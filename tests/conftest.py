@@ -1,0 +1,106 @@
+"""Test harness: CPU backend with a virtual 8-device mesh, isolated configs.
+
+Multi-device sharding tests follow the strategy in SURVEY.md §4: the CPU
+backend is forced and split into 8 virtual devices via
+``--xla_force_host_platform_device_count`` so data-parallel code paths run in
+CI without TPU hardware.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _fresh_config():
+    """Reset the config + logger singletons around every test."""
+    from betavae_tpu.config import reset_config_cache
+    from betavae_tpu.logging_utils import reset_logger
+
+    reset_config_cache()
+    reset_logger()
+    old_env = os.environ.pop("CONFIG_PATH", None)
+    yield
+    reset_config_cache()
+    reset_logger()
+    if old_env is not None:
+        os.environ["CONFIG_PATH"] = old_env
+    else:
+        os.environ.pop("CONFIG_PATH", None)
+
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_demo_config(tmp_path, *, image_size=32, latent_dim=8,
+                       base_channels=8, num_blocks=2, batch_size=4,
+                       class_mode="multiclass", **overrides):
+    """A tiny self-contained config rooted in tmp_path."""
+    import yaml
+
+    with open(os.path.join(REPO_ROOT, "configs", "beta_vae_se_debug.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    root = str(tmp_path)
+    cfg["paths"].update(
+        raw_dir=os.path.join(root, "raw"),
+        processed_dir=os.path.join(root, "processed"),
+        outputs_dir=os.path.join(root, "outputs"),
+        models_dir=os.path.join(root, "outputs", "models"),
+        figures_dir=os.path.join(root, "outputs", "figures"),
+        tables_dir=os.path.join(root, "outputs", "tables"),
+        run_id="testrun",
+    )
+    cfg["data"].update(image_size=image_size, class_mode=class_mode)
+    cfg["model"].update(latent_dim=latent_dim, base_channels=base_channels,
+                        num_blocks=num_blocks)
+    cfg["training"].update(batch_size=batch_size, mixed_precision=False)
+    cfg["loss"].update(use_lpips=False, use_ffl=False)
+    cfg["logging"].update(log_to_file=False)
+    for key, val in overrides.items():
+        sec, _, name = key.partition(".")
+        if name:
+            cfg[sec][name] = val
+        else:
+            cfg[sec] = val
+    path = os.path.join(root, "config.yaml")
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+@pytest.fixture
+def demo_config_factory(tmp_path):
+    def make(**overrides):
+        return _write_demo_config(tmp_path, **overrides)
+
+    return make
+
+
+@pytest.fixture
+def demo_env(tmp_path):
+    """Demo dataset + tiny config, config singleton loaded."""
+    from betavae_tpu.config import get_config
+    from betavae_tpu.data.demo import generate_demo_data
+
+    path = _write_demo_config(tmp_path)
+    cfg_raw = get_config(path)
+    generate_demo_data(
+        cfg_raw.paths.processed_dir,
+        train_per_class=6, test_per_class=3,
+        size=cfg_raw.data.image_size,
+    )
+    return path
