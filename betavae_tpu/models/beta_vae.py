@@ -269,9 +269,19 @@ class BetaVAE:
             jnp.float32,
         )
         params_key, rp_key = jax.random.split(key)
-        return self.module.init(
-            {"params": params_key, "reparam": rp_key}, x, train=False
+        # compile the init program instead of op-by-op tracing (much faster on
+        # slow hosts; identical result)
+        return jax.jit(partial(self.module.init, train=False))(
+            {"params": params_key, "reparam": rp_key}, x
         )
+
+    def variables_template(self):
+        """Abstract variables pytree (ShapeDtypeStructs) — no compilation.
+
+        Used as the unflatten target when loading checkpoints; avoids paying
+        a full init compile just to learn the parameter structure.
+        """
+        return jax.eval_shape(self.init_variables, jax.random.PRNGKey(0))
 
     def encode(self, variables, x):
         return self._encode_j(variables, jnp.asarray(x))

@@ -124,7 +124,7 @@ def compute_loss(
         kl_per_dim = jnp.sum(kl_elem32 * mask[:, None], axis=0) / msum
         kl_mean = jnp.sum(jnp.sum(kl_elem32, axis=1) * mask) / msum
         if spec.free_bits_enabled and not use_capacity:
-            kl_effective = jnp.sum(jnp.clip(kl_per_dim, a_min=free_bits))
+            kl_effective = jnp.sum(jnp.clip(kl_per_dim, min=free_bits))
         else:
             kl_effective = jnp.sum(kl_per_dim)
 

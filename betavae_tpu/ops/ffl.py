@@ -34,9 +34,10 @@ def _dft_matrices(n: int):
     k = np.arange(n)
     ang = -2.0 * np.pi * np.outer(k, k) / n
     scale = 1.0 / np.sqrt(n)
+    # plain numpy (not jnp) so the cache never captures traced/device values
     return (
-        jnp.asarray(np.cos(ang) * scale, jnp.float32),
-        jnp.asarray(np.sin(ang) * scale, jnp.float32),
+        (np.cos(ang) * scale).astype(np.float32),
+        (np.sin(ang) * scale).astype(np.float32),
     )
 
 
@@ -83,5 +84,5 @@ def focal_frequency_loss(pred: jnp.ndarray, target: jnp.ndarray,
     dist = re**2 + im**2
 
     denom = jnp.mean(dist, axis=(0, 1, 2), keepdims=True) + eps
-    weight = jnp.clip(dist / denom, a_min=eps) ** alpha
+    weight = jnp.clip(dist / denom, min=eps) ** alpha
     return jnp.mean(weight * dist)

@@ -67,8 +67,9 @@ class LPIPSModule(nn.Module):
     def __call__(self, x, y):
         shift = jnp.asarray(_SHIFT)[None, None, None, :]
         scale = jnp.asarray(_SCALE)[None, None, None, :]
-        fx = _AlexFeatures(name="net")((x - shift) / scale)
-        fy = _AlexFeatures(name="net")((y - shift) / scale)
+        net = _AlexFeatures(name="net")
+        fx = net((x - shift) / scale)
+        fy = net((y - shift) / scale)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
             a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
@@ -130,6 +131,6 @@ def build_lpips_fn(weights_path: str | None = None):
                 f"Shape mismatch: pred {pred.shape} vs target {target.shape}"
             )
         d = module.apply({"params": params}, _prep(pred), _prep(target))
-        return jnp.mean(jnp.clip(d, a_min=0.0))
+        return jnp.mean(jnp.clip(d, min=0.0))
 
     return lpips

@@ -466,7 +466,7 @@ def train(resume: str = "none", mesh=None):
                 "free_bits": jnp.float32(free_bits),
                 "lr": jnp.float32(lr),
             }
-            key = jax.random.fold_in(root_key, -(epoch * 100_000 + j) - 1)
+            key = jax.random.fold_in(root_key, 2**31 + epoch * 100_000 + j)
             m, mu = eval_step(state, test_dev.images, idx, mask, key, sched)
             if val_preview is None:
                 real = int(mask.sum())

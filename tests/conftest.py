@@ -16,6 +16,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The environment's sitecustomize registers the TPU PJRT plugin and imports
+# jax before any test code runs, so env vars alone don't take effect — force
+# the platform through the live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import matplotlib
 
 matplotlib.use("Agg")

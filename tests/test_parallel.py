@@ -1,0 +1,86 @@
+"""Data-parallel mesh tests on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from betavae_tpu.models.beta_vae import BetaVAE, BetaVAEModule
+from betavae_tpu.models.losses import LossSpec
+from betavae_tpu.parallel.mesh import (batch_sharding, data_parallel_mesh,
+                                       replicate_state, replicated_sharding)
+from betavae_tpu.train.loop import init_state, make_train_step
+from betavae_tpu.train.optim import build_optimizer
+
+
+def _tiny_setup():
+    from betavae_tpu.config import get_config
+
+    cfg = get_config("configs/beta_vae_se.yaml")
+    model = BetaVAE(module=BetaVAEModule(
+        image_size=16, in_channels=1, latent_dim=8, base_channels=8,
+        num_blocks=2, norm_type="layer", se_reduction=8, use_decoder_se=True,
+        logvar_clamp=(-10.0, 5.0)))
+    spec = LossSpec(recon_loss_type="mse")
+    tx = build_optimizer(cfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    return model, spec, tx, state
+
+
+def test_eight_virtual_devices_present():
+    assert jax.device_count() >= 8
+
+
+def test_dp_step_matches_single_device():
+    model, spec, tx, state0 = _tiny_setup()
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 255, (16, 16, 16, 1), np.uint8)
+    idx = np.arange(8, dtype=np.int32)
+    mask = np.ones(8, np.float32)
+    sched = {k: jnp.float32(v) for k, v in
+             dict(beta=1.0, capacity=0.0, capacity_weight=1.0, free_bits=0.0,
+                  lr=1e-3).items()}
+    key = jax.random.PRNGKey(7)
+    aug = {"use_flip": False, "degrees": 0.0, "brightness": 0.0}
+
+    step = make_train_step(model, tx, spec, aug_kwargs=aug,
+                           use_capacity=False, donate=False)
+    # single device
+    s1, m1 = step(state0, jax.device_put(images), idx, mask, key, sched)
+
+    # 8-device mesh: replicated state/data, sharded batch
+    mesh = data_parallel_mesh(8)
+    state_r = replicate_state(state0, mesh)
+    images_r = jax.device_put(images, replicated_sharding(mesh))
+    idx_s = jax.device_put(idx, batch_sharding(mesh))
+    mask_s = jax.device_put(mask, batch_sharding(mesh))
+    s8, m8 = step(state_r, images_r, idx_s, mask_s, key, sched)
+
+    np.testing.assert_allclose(float(m1["total"]), float(m8["total"]),
+                               rtol=1e-4)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), rtol=1e-4,
+                               atol=1e-6)
+
+
+def test_batch_is_actually_sharded():
+    mesh = data_parallel_mesh(8)
+    idx = jax.device_put(np.arange(16, dtype=np.int32), batch_sharding(mesh))
+    assert len(idx.sharding.device_set) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_compiles():
+    import __graft_entry__
+
+    fn, args = __graft_entry__.entry()
+    # compile-check only on a reduced version would still be heavy on CPU at
+    # 128px; lower into jit eval_shape to validate tracing without running
+    shapes = jax.eval_shape(fn, *args)
+    assert shapes[0].shape == ()
