@@ -47,6 +47,8 @@ from ..logging_utils import init_logger, log_config, log_metrics
 from ..models.beta_vae import BetaVAE, model_from_config
 from ..models.losses import LossSpec, compute_loss, loss_spec_from_config
 from ..ops.reparam import reparameterize_and_kl
+from ..ops.pallas_elbo import (fused_reparam_kl, key_to_seed,
+                               tpu_backend_available)
 from .callbacks import CheckpointManager, EarlyStopping
 from .optim import build_optimizer
 from .schedules import lr_at, schedules_from_config
@@ -80,6 +82,30 @@ def _masked_std(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(var)
 
 
+_pallas_enabled_cache = None
+
+
+def _pallas_enabled() -> bool:
+    """Fused Pallas reparam+KL on real TPU; pure-jnp elsewhere.
+
+    Override with ``BETAVAE_DISABLE_PALLAS=1`` (debugging / A-B timing).
+    """
+    global _pallas_enabled_cache
+    if _pallas_enabled_cache is None:
+        _pallas_enabled_cache = (
+            tpu_backend_available()
+            and os.environ.get("BETAVAE_DISABLE_PALLAS") != "1"
+        )
+    return _pallas_enabled_cache
+
+
+def _sample_and_kl(rkey, mu, logvar, deterministic: bool):
+    if deterministic or not _pallas_enabled():
+        return reparameterize_and_kl(rkey, mu, logvar,
+                                     deterministic=deterministic)
+    return fused_reparam_kl(key_to_seed(rkey), mu, logvar, False)
+
+
 def _forward_with_loss(model: BetaVAE, variables, x, rkey, *, spec: LossSpec,
                        sched, mask, train: bool, use_capacity: bool,
                        lpips_fn, mutable_bn: bool):
@@ -96,8 +122,7 @@ def _forward_with_loss(model: BetaVAE, variables, x, rkey, *, spec: LossSpec,
     else:
         mu, logvar = module.apply(variables, x, train=train,
                                   method=module.encode)
-    z, kl_elem = reparameterize_and_kl(rkey, mu, logvar,
-                                       deterministic=spec.deterministic)
+    z, kl_elem = _sample_and_kl(rkey, mu, logvar, spec.deterministic)
     if mutable_bn:
         recon, upd = module.apply(variables, z, train=train,
                                   method=module.decode,
