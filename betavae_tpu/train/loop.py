@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from functools import partial
 from typing import Any, Optional
 
@@ -206,6 +207,60 @@ def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
+                          aug_kwargs: dict, use_capacity: bool, lpips_fn=None,
+                          has_bn: bool = False, donate: bool = True):
+    """K consecutive train steps in ONE XLA program via ``lax.scan``.
+
+    Amortizes per-step host dispatch (significant on slow hosts at ~1 ms
+    steps).  Signature:
+    ``(state, images, idx_KB, mask_KB, keys_K, sched_K) -> (state, metrics_K)``
+    where ``idx_KB``/``mask_KB`` are (K, B), ``keys_K`` stacks K PRNG keys and
+    ``sched_K`` values are (K,) per-step scalars.  Per-step metrics come back
+    stacked so the logging protocol is unchanged.
+    """
+
+    def one(state, images, idx, mask, key, sched):
+        akey, rkey = jax.random.split(key)
+        x = gather_batch(images, idx)
+        x = augment_batch(akey, x, **aug_kwargs)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            losses, new_bs = _forward_with_loss(
+                model, variables, x, rkey, spec=spec, sched=sched, mask=mask,
+                train=True, use_capacity=use_capacity, lpips_fn=lpips_fn,
+                mutable_bn=has_bn,
+            )
+            return losses["total"], (losses, new_bs)
+
+        (_, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        opt_state = state.opt_state._replace(
+            hyperparams={**state.opt_state.hyperparams,
+                         "learning_rate": sched["lr"]}
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+        new_state = TrainState(
+            params=new_params, opt_state=new_opt_state,
+            batch_stats=new_bs if has_bn else state.batch_stats)
+        return new_state, _scalar_metrics(losses, mask)
+
+    def multi(state, images, idx_kb, mask_kb, keys_k, sched_k):
+        def body(state, inp):
+            idx, mask, key, sched = inp
+            return one(state, images, idx, mask, key, sched)
+
+        return jax.lax.scan(body, state, (idx_kb, mask_kb, keys_k, sched_k))
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model: BetaVAE, spec: LossSpec, *, use_capacity: bool,
                    lpips_fn=None, has_bn: bool = False):
     """Jitted validation step: stochastic loss + latent means."""
@@ -349,6 +404,9 @@ def train(resume: str = "none", mesh=None):
     train_step = make_train_step(model, tx, spec, aug_kwargs=aug_kwargs,
                                  use_capacity=use_capacity, lpips_fn=lpips_fn,
                                  has_bn=has_bn)
+    multi_step = make_train_multi_step(model, tx, spec, aug_kwargs=aug_kwargs,
+                                       use_capacity=use_capacity,
+                                       lpips_fn=lpips_fn, has_bn=has_bn)
     eval_step = make_eval_step(model, spec, use_capacity=use_capacity,
                                lpips_fn=lpips_fn, has_bn=has_bn)
 
@@ -411,6 +469,12 @@ def train(resume: str = "none", mesh=None):
 
     running_keys = ("total", "recon", "recon_base", "recon_lpips",
                     "recon_ffl", "kl_mean")
+    from ..utils.profiling import StepProfiler
+
+    profiler = StepProfiler(
+        get(cfg.logging, "profile_steps", 0),
+        os.path.join(cfg.paths.outputs_dir, "profile"),
+    )
     del data_sharding  # single-controller path shards via jit in parallel mode
 
     for epoch in range(start_epoch, epochs + 1):
@@ -425,51 +489,103 @@ def train(resume: str = "none", mesh=None):
         running = {k: 0.0 for k in running_keys}
         last = {}
         denom = 0
-        for i, (idx, mask) in enumerate(train_plan.batches(epoch)):
-            if lr_scheduler.lower() == "step":
-                lr = lr_at(epoch, total_steps, base_lr=base_lr,
-                           scheduler=lr_scheduler, total_epochs=epochs)
-            sched = {
-                "beta": jnp.float32(beta),
-                "capacity": jnp.float32(capacity if capacity is not None else 0.0),
-                "capacity_weight": jnp.float32(
-                    capacity_weight_cfg if capacity_weight_cfg is not None else 1.0
-                ),
-                "free_bits": jnp.float32(free_bits),
-                "lr": jnp.float32(lr),
+        epoch_t0 = time.perf_counter()
+
+        def sched_for(step_i: int, as_array=False):
+            lr_i = lr_at(epoch, step_i, base_lr=base_lr,
+                         scheduler=lr_scheduler, total_epochs=epochs)
+            vals = {
+                "beta": beta,
+                "capacity": capacity if capacity is not None else 0.0,
+                "capacity_weight": (capacity_weight_cfg
+                                    if capacity_weight_cfg is not None else 1.0),
+                "free_bits": free_bits,
+                "lr": lr_i,
             }
-            key = jax.random.fold_in(root_key, total_steps + 1)
-            state, m = train_step(state, train_dev.images, idx, mask, key, sched)
-            # asynchronous device-scalar accumulation; no per-step host sync
-            for k in running_keys:
-                running[k] = running[k] + m[k]
-            last = m
-            denom = i + 1
-            total_steps += 1
+            return vals, lr_i
 
-            if total_steps % log_every == 0:
-                metrics = {
-                    "epoch": epoch,
-                    "beta": float(beta),
-                    "capacity": float(capacity) if capacity is not None else 0.0,
-                    "train_total_loss": float(running["total"]) / denom,
-                    "train_recon_loss": float(running["recon"]) / denom,
-                    "train_recon_base": float(running["recon_base"]) / denom,
-                    "train_recon_lpips": float(running["recon_lpips"]) / denom,
-                    "train_recon_ffl": float(running["recon_ffl"]) / denom,
-                    "train_kl": float(running["kl_mean"]) / denom,
-                    "train_kl_mean": float(running["kl_mean"]) / denom,
-                    "train_kl_effective_last": float(last["kl_effective"]),
-                    "train_kl_per_dim_mean": float(last["kl_per_dim_mean"]),
-                    "loss_mode": "capacity" if use_capacity else "beta",
-                    "mu_mean_batch": float(last["mu_mean_batch"]),
-                    "z_std_batch": float(last["z_std_batch"]),
-                    "lr": lr,
+        def emit_log(lr_now):
+            metrics = {
+                "epoch": epoch,
+                "beta": float(beta),
+                "capacity": float(capacity) if capacity is not None else 0.0,
+                "train_total_loss": float(running["total"]) / denom,
+                "train_recon_loss": float(running["recon"]) / denom,
+                "train_recon_base": float(running["recon_base"]) / denom,
+                "train_recon_lpips": float(running["recon_lpips"]) / denom,
+                "train_recon_ffl": float(running["recon_ffl"]) / denom,
+                "train_kl": float(running["kl_mean"]) / denom,
+                "train_kl_mean": float(running["kl_mean"]) / denom,
+                "train_kl_effective_last": float(last["kl_effective"]),
+                "train_kl_per_dim_mean": float(last["kl_per_dim_mean"]),
+                "loss_mode": "capacity" if use_capacity else "beta",
+                "mu_mean_batch": float(last["mu_mean_batch"]),
+                "z_std_batch": float(last["z_std_batch"]),
+                "lr": lr_now,
+            }
+            log_metrics(metrics, step=total_steps, phase="train")
+
+        all_batches = list(train_plan.batches(epoch))
+        if max_train_batches is not None:
+            all_batches = all_batches[:max_train_batches]
+        n_steps = len(all_batches)
+
+        # K consecutive steps per XLA dispatch (scan) amortize host/dispatch
+        # latency; the per-step logging protocol is reconstructed from the
+        # stacked per-step metrics.  Remainder steps use the single-step
+        # program (padding scan steps would corrupt optimizer moments).
+        K = int(get(cfg.training, "scan_chunk_steps", 16))
+        i = 0
+        lr_now = lr
+        profiler.maybe_start()
+        while i < n_steps:
+            if n_steps - i >= K:
+                chunk = all_batches[i : i + K]
+                idx_kb = np.stack([c[0] for c in chunk])
+                mask_kb = np.stack([c[1] for c in chunk])
+                keys_k = jnp.stack([
+                    jax.random.fold_in(root_key, total_steps + 1 + j)
+                    for j in range(K)
+                ])
+                sched_list = [sched_for(total_steps + j)[0] for j in range(K)]
+                sched_k = {
+                    name: jnp.asarray([s[name] for s in sched_list],
+                                      jnp.float32)
+                    for name in sched_list[0]
                 }
-                log_metrics(metrics, step=total_steps, phase="train")
-
-            if max_train_batches is not None and i + 1 >= max_train_batches:
-                break
+                state, mk = multi_step(state, train_dev.images, idx_kb,
+                                       mask_kb, keys_k, sched_k)
+                mk = {k: np.asarray(v) for k, v in mk.items()}
+                for j in range(K):
+                    for k in running_keys:
+                        running[k] = running[k] + float(mk[k][j])
+                    last = {k: mk[k][j] for k in mk}
+                    denom += 1
+                    total_steps += 1
+                    lr_now = float(sched_list[j]["lr"])
+                    if total_steps % log_every == 0:
+                        emit_log(lr_now)
+                i += K
+                profiler.after_step(K)
+            else:
+                idx, mask = all_batches[i]
+                vals, lr_now = sched_for(total_steps)
+                sched = {k: jnp.float32(v) for k, v in vals.items()}
+                key = jax.random.fold_in(root_key, total_steps + 1)
+                state, m = train_step(state, train_dev.images, idx, mask,
+                                      key, sched)
+                for k in running_keys:
+                    running[k] = running[k] + m[k]
+                last = m
+                denom += 1
+                total_steps += 1
+                if total_steps % log_every == 0:
+                    emit_log(lr_now)
+                i += 1
+                profiler.after_step(1)
+        lr = lr_now
+        profiler.stop()
+        epoch_seconds = time.perf_counter() - epoch_t0
 
         final_train_kl_mean = float(running["kl_mean"]) / max(1, denom)
         final_train_kl_effective = float(last.get("kl_effective", 0.0))
@@ -533,6 +649,12 @@ def train(resume: str = "none", mesh=None):
             "train_kl_mean": final_train_kl_mean,
             "train_kl_effective_last": final_train_kl_effective,
             **probe_metrics,
+            # first-class throughput observability (additive keys; the
+            # reference had none — SURVEY.md §5 "tracing/profiling: none")
+            "epoch_seconds": round(epoch_seconds, 3),
+            "train_steps_per_sec": round(denom / max(epoch_seconds, 1e-9), 3),
+            "train_images_per_sec": round(
+                denom * batch_size / max(epoch_seconds, 1e-9), 1),
         }
         log_metrics(metrics, step=total_steps, phase="val")
 

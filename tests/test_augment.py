@@ -24,6 +24,21 @@ def test_rotation_zero_angle_identity():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
 
 
+def test_shear_rotation_matches_exact_on_smooth_image():
+    from betavae_tpu.data.augment import _rotate_one, rotate_shear
+
+    yy, xx = np.mgrid[:64, :64]
+    img = np.exp(-(((xx - 24) ** 2 + (yy - 40) ** 2) / 120.0)).astype(
+        np.float32)[..., None]
+    for deg in (8.0, -9.5, 3.0):
+        ang = np.float32(np.radians(deg))
+        ref = np.asarray(_rotate_one(jnp.asarray(img), jnp.asarray(ang)))
+        got = np.asarray(rotate_shear(jnp.asarray(img)[None],
+                                      jnp.asarray([ang]), 10.0))[0]
+        inner = (slice(14, 50), slice(14, 50), slice(None))
+        assert np.abs(ref[inner] - got[inner]).max() < 0.02
+
+
 def test_rotation_90_matches_numpy():
     from betavae_tpu.data.augment import _rotate_one
 

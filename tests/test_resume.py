@@ -1,0 +1,56 @@
+"""Checkpoint/resume continuation: split training must equal one straight run.
+
+The RNG design makes this exact: per-step keys are ``fold_in(root,
+total_steps)``, batch order is a pure function of (seed, epoch), and the LR
+schedule is recomputed from the restored epoch — so training 3 epochs in one
+run or as 2 + resume(1) produces bit-identical parameters.
+"""
+
+import os
+
+import jax
+import numpy as np
+import yaml
+
+from betavae_tpu.config import get_config, reset_config_cache
+
+
+def _set_epochs(cfg_path, epochs):
+    raw = yaml.safe_load(open(cfg_path))
+    raw["debug"]["epochs"] = epochs
+    raw["debug"]["max_train_batches"] = 3
+    raw["debug"]["max_val_batches"] = 2
+    # cosine LR depends on the run's total epochs (T_max), so a 2-epoch run
+    # and the first 2 epochs of a 3-epoch run would legitimately diverge
+    # (reference semantics, CosineAnnealingLR T_max=epochs) — pin LR instead.
+    raw["optimization"]["scheduler"] = "none"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    return get_config(cfg_path)
+
+
+def test_resume_is_exact_continuation(demo_env, tmp_path):
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_env
+
+    # straight 3-epoch run
+    _set_epochs(cfg_path, 3)
+    state_full = train()
+    full_leaves = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(state_full.params)]
+
+    # clear checkpoints, run 2 epochs, then resume for epoch 3
+    cfg = get_config()
+    for f in os.listdir(cfg.paths.models_dir):
+        os.remove(os.path.join(cfg.paths.models_dir, f))
+    _set_epochs(cfg_path, 2)
+    train()
+    _set_epochs(cfg_path, 3)
+    state_resumed = train(resume="latest")
+    res_leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(state_resumed.params)]
+
+    for a, b in zip(full_leaves, res_leaves):
+        np.testing.assert_array_equal(a, b)
