@@ -52,6 +52,11 @@ def replicate_state(state, mesh: Mesh):
     )
 
 
+def chunk_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (K, B) stacked step batches along the batch (second) axis."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch_indices(idx: np.ndarray, mask: np.ndarray, mesh: Mesh):
     """Place a (B,) index/mask pair sharded over the data axis."""
     sh = batch_sharding(mesh)

@@ -374,11 +374,20 @@ def train(resume: str = "none", mesh=None):
     train_ds, test_ds = build_datasets(train_limit=train_limit,
                                        test_limit=test_limit)
 
-    from ..parallel.mesh import batch_sharding, replicate_state
+    from ..parallel.mesh import (batch_sharding, replicate_state,
+                                 replicated_sharding)
 
-    data_sharding = batch_sharding(mesh) if mesh is not None else None
-    train_dev = DeviceData.from_dataset(train_ds, sharding=None)
-    test_dev = DeviceData.from_dataset(test_ds, sharding=None)
+    if mesh is not None:
+        # data parallelism: dataset + state replicated, batch sharded; XLA
+        # partitions the fused step and all-reduces grads over ICI
+        repl = replicated_sharding(mesh)
+        bsh = batch_sharding(mesh)
+        train_dev = DeviceData.from_dataset(train_ds, sharding=repl)
+        test_dev = DeviceData.from_dataset(test_ds, sharding=repl)
+    else:
+        bsh = None
+        train_dev = DeviceData.from_dataset(train_ds, sharding=None)
+        test_dev = DeviceData.from_dataset(test_ds, sharding=None)
 
     model = model_from_config(cfg)
     spec = loss_spec_from_config(cfg)
@@ -457,6 +466,14 @@ def train(resume: str = "none", mesh=None):
 
     batch_size = int(cfg.training.batch_size)
     n_dev = len(mesh.devices.flat) if mesh is not None else 1
+    if mesh is not None and batch_size % n_dev != 0:
+        raise ValueError(
+            f"training.batch_size ({batch_size}) must divide evenly over the "
+            f"{n_dev}-device data mesh")
+    if mesh is not None:
+        from ..parallel.mesh import chunk_batch_sharding
+
+        chunk_sh = chunk_batch_sharding(mesh)
     train_plan = BatchPlan(len(train_ds), batch_size, shuffle=True, seed=seed,
                            pad_multiple=n_dev)
     test_plan = BatchPlan(len(test_ds), batch_size, shuffle=False, seed=seed,
@@ -475,7 +492,6 @@ def train(resume: str = "none", mesh=None):
         get(cfg.logging, "profile_steps", 0),
         os.path.join(cfg.paths.outputs_dir, "profile"),
     )
-    del data_sharding  # single-controller path shards via jit in parallel mode
 
     for epoch in range(start_epoch, epochs + 1):
         beta = beta_sched.value(epoch - 1)
@@ -543,6 +559,9 @@ def train(resume: str = "none", mesh=None):
                 chunk = all_batches[i : i + K]
                 idx_kb = np.stack([c[0] for c in chunk])
                 mask_kb = np.stack([c[1] for c in chunk])
+                if mesh is not None:
+                    idx_kb = jax.device_put(idx_kb, chunk_sh)
+                    mask_kb = jax.device_put(mask_kb, chunk_sh)
                 keys_k = jnp.stack([
                     jax.random.fold_in(root_key, total_steps + 1 + j)
                     for j in range(K)
@@ -569,6 +588,10 @@ def train(resume: str = "none", mesh=None):
                 profiler.after_step(K)
             else:
                 idx, mask = all_batches[i]
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch_indices
+
+                    idx, mask = shard_batch_indices(idx, mask, mesh)
                 vals, lr_now = sched_for(total_steps)
                 sched = {k: jnp.float32(v) for k, v in vals.items()}
                 key = jax.random.fold_in(root_key, total_steps + 1)

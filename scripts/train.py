@@ -16,6 +16,9 @@ def _parse_args():
     parser.add_argument("--resume", type=str,
                         choices=["best", "latest", "none"], default="none",
                         help="Resume from a checkpoint in models_dir")
+    parser.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                        help="Train data-parallel over the first N local "
+                             "devices (0 = single device; -1 = all devices)")
     return parser.parse_args()
 
 
@@ -25,4 +28,13 @@ if __name__ == "__main__":
         os.environ["CONFIG_PATH"] = args.config
     from betavae_tpu.train.loop import train
 
-    train(resume=args.resume)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from betavae_tpu.parallel.mesh import data_parallel_mesh
+
+        n = args.data_parallel
+        mesh = data_parallel_mesh(None if n < 0 else n)
+        print(f"[MESH] data-parallel over {len(mesh.devices.flat)} device(s)")
+    train(resume=args.resume, mesh=mesh)

@@ -1,0 +1,56 @@
+"""Full train() over a data-parallel mesh (virtual 8-device CPU)."""
+
+import os
+
+import numpy as np
+import yaml
+
+from betavae_tpu.config import get_config, reset_config_cache
+
+
+def test_train_on_mesh_matches_single_device(demo_env):
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+    import jax
+
+    cfg_path = demo_env
+    raw = yaml.safe_load(open(cfg_path))
+    raw["training"]["batch_size"] = 8  # divisible by 8 devices
+    raw["training"]["scan_chunk_steps"] = 2
+    raw["debug"]["epochs"] = 1
+    raw["debug"]["max_train_batches"] = 3
+    raw["augmentation"]["use_augmentations"] = False  # identical math paths
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+
+    state_single = train()
+    leaves_single = [np.asarray(x) for x in
+                     jax.tree_util.tree_leaves(state_single.params)]
+
+    reset_config_cache()
+    get_config(cfg_path)
+    mesh = data_parallel_mesh(8)
+    state_mesh = train(mesh=mesh)
+    leaves_mesh = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(state_mesh.params)]
+
+    for a, b in zip(leaves_single, leaves_mesh):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_mesh_batch_size_divisibility(demo_env):
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+    import pytest
+    import yaml
+
+    raw = yaml.safe_load(open(demo_env))
+    raw["training"]["batch_size"] = 6  # not divisible by 8
+    with open(demo_env, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(demo_env)
+    with pytest.raises(ValueError, match="divide evenly"):
+        train(mesh=data_parallel_mesh(8))
