@@ -507,7 +507,7 @@ def train(resume: str = "none", mesh=None):
         denom = 0
         epoch_t0 = time.perf_counter()
 
-        def sched_for(step_i: int, as_array=False):
+        def sched_for(step_i: int):
             lr_i = lr_at(epoch, step_i, base_lr=base_lr,
                          scheduler=lr_scheduler, total_epochs=epochs)
             vals = {
@@ -550,7 +550,8 @@ def train(resume: str = "none", mesh=None):
         # latency; the per-step logging protocol is reconstructed from the
         # stacked per-step metrics.  Remainder steps use the single-step
         # program (padding scan steps would corrupt optimizer moments).
-        K = int(get(cfg.training, "scan_chunk_steps", 16))
+        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 16)),
+                       n_steps))
         i = 0
         lr_now = lr
         profiler.maybe_start()
