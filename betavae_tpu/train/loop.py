@@ -483,6 +483,9 @@ def train(resume: str = "none", mesh=None):
     )
     max_val_batches = int(debug_cfg.max_val_batches) if debug_enabled else None
     log_every = int(cfg.logging.log_every_n_steps)
+    # anomaly guard (reference has no sanitizers, SURVEY.md §5): fail fast
+    # with a recovery hint instead of training on NaNs for hours
+    detect_anomalies = bool(get(cfg.training, "detect_anomalies", True))
 
     running_keys = ("total", "recon", "recon_base", "recon_lpips",
                     "recon_ffl", "kl_mean")
@@ -521,6 +524,12 @@ def train(resume: str = "none", mesh=None):
             return vals, lr_i
 
         def emit_log(lr_now):
+            if detect_anomalies and not np.isfinite(float(last["total"])):
+                raise FloatingPointError(
+                    f"non-finite training loss at step {total_steps} "
+                    f"(epoch {epoch}): total={float(last['total'])} — "
+                    "check LR/grad_clip; resume from the last checkpoint "
+                    "with --resume latest")
             metrics = {
                 "epoch": epoch,
                 "beta": float(beta),
