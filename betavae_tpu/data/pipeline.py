@@ -30,20 +30,34 @@ from .dataset import ArrayDataset
 
 @dataclass
 class DeviceData:
-    """A split resident on device: uint8 images + int32 labels."""
+    """A split resident on device: uint8 images + int32 labels.
 
-    images: jax.Array   # (N, H, W, C) uint8
-    labels: jax.Array   # (N,) int32
+    ``host_feed=True`` keeps the packed array in host RAM instead (datasets
+    larger than the configured HBM budget); batches are then gathered on host
+    and shipped per step — the async dispatch pipeline hides the H2D copy.
+    """
+
+    images: object      # jax.Array on device, or np.ndarray when host_feed
+    labels: np.ndarray  # (N,) int32 (host; only consumed host-side)
     n: int
+    host_feed: bool = False
 
     @classmethod
-    def from_dataset(cls, ds: ArrayDataset, sharding=None) -> "DeviceData":
+    def from_dataset(cls, ds: ArrayDataset, sharding=None,
+                     max_device_bytes: int | None = None) -> "DeviceData":
+        labels = ds.labels.astype(np.int32)
+        if max_device_bytes is not None and ds.images.nbytes > max_device_bytes:
+            return cls(images=ds.images, labels=labels, n=len(ds),
+                       host_feed=True)
         if sharding is not None:
             images = jax.device_put(ds.images, sharding)
         else:
             images = jax.device_put(ds.images)
-        labels = jax.device_put(ds.labels.astype(np.int32))
         return cls(images=images, labels=labels, n=len(ds))
+
+    def batch(self, idx: np.ndarray):
+        """Host-side gather for host_feed mode: uint8 (..., H, W, C)."""
+        return self.images[idx]
 
 
 def gather_batch(images: jax.Array, idx: jax.Array) -> jax.Array:

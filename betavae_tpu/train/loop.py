@@ -161,17 +161,22 @@ def _scalar_metrics(losses, mask) -> dict:
 
 def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
                     use_capacity: bool, lpips_fn=None, has_bn: bool = False,
-                    donate: bool = True):
+                    donate: bool = True, host_feed: bool = False):
     """Build the jitted fused train step.
 
     Signature: ``(state, images_u8, idx, mask, key, sched) -> (state, metrics)``
     where ``sched`` is a dict of traced f32 scalars
-    ``{beta, capacity, capacity_weight, free_bits, lr}``.
+    ``{beta, capacity, capacity_weight, free_bits, lr}``.  With
+    ``host_feed=True`` (dataset larger than the HBM budget) ``images_u8`` is
+    the pre-gathered ``(B, H, W, C)`` batch itself and ``idx`` is unused.
     """
 
     def step(state: TrainState, images, idx, mask, key, sched):
         akey, rkey = jax.random.split(key)
-        x = gather_batch(images, idx)
+        if host_feed:
+            x = images.astype(jnp.float32) / 255.0
+        else:
+            x = gather_batch(images, idx)
         x = augment_batch(akey, x, **aug_kwargs)
 
         def loss_fn(params):
@@ -209,7 +214,8 @@ def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
 
 def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
                           aug_kwargs: dict, use_capacity: bool, lpips_fn=None,
-                          has_bn: bool = False, donate: bool = True):
+                          has_bn: bool = False, donate: bool = True,
+                          host_feed: bool = False):
     """K consecutive train steps in ONE XLA program via ``lax.scan``.
 
     Amortizes per-step host dispatch (significant on slow hosts at ~1 ms
@@ -217,12 +223,17 @@ def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
     ``(state, images, idx_KB, mask_KB, keys_K, sched_K) -> (state, metrics_K)``
     where ``idx_KB``/``mask_KB`` are (K, B), ``keys_K`` stacks K PRNG keys and
     ``sched_K`` values are (K,) per-step scalars.  Per-step metrics come back
-    stacked so the logging protocol is unchanged.
+    stacked so the logging protocol is unchanged.  With ``host_feed=True``
+    ``images`` is the pre-gathered ``(K, B, H, W, C)`` uint8 stack scanned
+    alongside the indices.
     """
 
     def one(state, images, idx, mask, key, sched):
         akey, rkey = jax.random.split(key)
-        x = gather_batch(images, idx)
+        if host_feed:
+            x = images.astype(jnp.float32) / 255.0
+        else:
+            x = gather_batch(images, idx)
         x = augment_batch(akey, x, **aug_kwargs)
 
         def loss_fn(params):
@@ -252,6 +263,14 @@ def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
         return new_state, _scalar_metrics(losses, mask)
 
     def multi(state, images, idx_kb, mask_kb, keys_k, sched_k):
+        if host_feed:
+            def body(state, inp):
+                x, idx, mask, key, sched = inp
+                return one(state, x, idx, mask, key, sched)
+
+            return jax.lax.scan(body, state,
+                                (images, idx_kb, mask_kb, keys_k, sched_k))
+
         def body(state, inp):
             idx, mask, key, sched = inp
             return one(state, images, idx, mask, key, sched)
@@ -262,11 +281,15 @@ def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
 
 
 def make_eval_step(model: BetaVAE, spec: LossSpec, *, use_capacity: bool,
-                   lpips_fn=None, has_bn: bool = False):
+                   lpips_fn=None, has_bn: bool = False,
+                   host_feed: bool = False):
     """Jitted validation step: stochastic loss + latent means."""
 
     def step(state: TrainState, images, idx, mask, key, sched):
-        x = gather_batch(images, idx)
+        if host_feed:
+            x = images.astype(jnp.float32) / 255.0
+        else:
+            x = gather_batch(images, idx)
         variables = state.model_variables()
         losses, _ = _forward_with_loss(
             model, variables, x, key, spec=spec, sched=sched, mask=mask,
@@ -377,17 +400,24 @@ def train(resume: str = "none", mesh=None):
     from ..parallel.mesh import (batch_sharding, replicate_state,
                                  replicated_sharding)
 
+    # datasets above this budget stay in host RAM and stream per step
+    max_dev_bytes = int(
+        get(cfg.training, "max_device_dataset_mb", 4096)) * 1024 * 1024
     if mesh is not None:
         # data parallelism: dataset + state replicated, batch sharded; XLA
         # partitions the fused step and all-reduces grads over ICI
         repl = replicated_sharding(mesh)
         bsh = batch_sharding(mesh)
-        train_dev = DeviceData.from_dataset(train_ds, sharding=repl)
-        test_dev = DeviceData.from_dataset(test_ds, sharding=repl)
+        train_dev = DeviceData.from_dataset(train_ds, sharding=repl,
+                                            max_device_bytes=max_dev_bytes)
+        test_dev = DeviceData.from_dataset(test_ds, sharding=repl,
+                                           max_device_bytes=max_dev_bytes)
     else:
         bsh = None
-        train_dev = DeviceData.from_dataset(train_ds, sharding=None)
-        test_dev = DeviceData.from_dataset(test_ds, sharding=None)
+        train_dev = DeviceData.from_dataset(train_ds, sharding=None,
+                                            max_device_bytes=max_dev_bytes)
+        test_dev = DeviceData.from_dataset(test_ds, sharding=None,
+                                           max_device_bytes=max_dev_bytes)
 
     model = model_from_config(cfg)
     spec = loss_spec_from_config(cfg)
@@ -412,12 +442,14 @@ def train(resume: str = "none", mesh=None):
     aug_kwargs = augment_config_kwargs(cfg)
     train_step = make_train_step(model, tx, spec, aug_kwargs=aug_kwargs,
                                  use_capacity=use_capacity, lpips_fn=lpips_fn,
-                                 has_bn=has_bn)
+                                 has_bn=has_bn, host_feed=train_dev.host_feed)
     multi_step = make_train_multi_step(model, tx, spec, aug_kwargs=aug_kwargs,
                                        use_capacity=use_capacity,
-                                       lpips_fn=lpips_fn, has_bn=has_bn)
+                                       lpips_fn=lpips_fn, has_bn=has_bn,
+                                       host_feed=train_dev.host_feed)
     eval_step = make_eval_step(model, spec, use_capacity=use_capacity,
-                               lpips_fn=lpips_fn, has_bn=has_bn)
+                               lpips_fn=lpips_fn, has_bn=has_bn,
+                               host_feed=test_dev.host_feed)
 
     early = EarlyStopping(
         patience=int(get(cfg.training, "early_stopping_patience", 20)),
@@ -582,7 +614,9 @@ def train(resume: str = "none", mesh=None):
                                       jnp.float32)
                     for name in sched_list[0]
                 }
-                state, mk = multi_step(state, train_dev.images, idx_kb,
+                feed = (train_dev.batch(np.asarray(idx_kb))
+                        if train_dev.host_feed else train_dev.images)
+                state, mk = multi_step(state, feed, idx_kb,
                                        mask_kb, keys_k, sched_k)
                 mk = {k: np.asarray(v) for k, v in mk.items()}
                 for j in range(K):
@@ -605,8 +639,9 @@ def train(resume: str = "none", mesh=None):
                 vals, lr_now = sched_for(total_steps)
                 sched = {k: jnp.float32(v) for k, v in vals.items()}
                 key = jax.random.fold_in(root_key, total_steps + 1)
-                state, m = train_step(state, train_dev.images, idx, mask,
-                                      key, sched)
+                feed = (train_dev.batch(np.asarray(idx))
+                        if train_dev.host_feed else train_dev.images)
+                state, m = train_step(state, feed, idx, mask, key, sched)
                 for k in running_keys:
                     running[k] = running[k] + m[k]
                 last = m
@@ -641,7 +676,9 @@ def train(resume: str = "none", mesh=None):
                 "lr": jnp.float32(lr),
             }
             key = jax.random.fold_in(root_key, 2**31 + epoch * 100_000 + j)
-            m, mu = eval_step(state, test_dev.images, idx, mask, key, sched)
+            feed = (test_dev.batch(idx) if test_dev.host_feed
+                    else test_dev.images)
+            m, mu = eval_step(state, feed, idx, mask, key, sched)
             if val_preview is None:
                 real = int(mask.sum())
                 val_preview = (idx[:real], mask[:real])

@@ -1,0 +1,50 @@
+"""Host-feed streaming mode (dataset larger than the HBM budget) equivalence."""
+
+import jax
+import numpy as np
+import yaml
+
+from betavae_tpu.config import get_config, reset_config_cache
+from betavae_tpu.data.dataset import ArrayDataset
+from betavae_tpu.data.pipeline import DeviceData
+
+
+def test_device_data_host_feed_threshold():
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(images=rng.integers(0, 255, (10, 8, 8, 1), np.uint8),
+                      labels=np.zeros(10, np.int32))
+    small_budget = DeviceData.from_dataset(ds, max_device_bytes=100)
+    assert small_budget.host_feed
+    assert isinstance(small_budget.images, np.ndarray)
+    big_budget = DeviceData.from_dataset(ds, max_device_bytes=10**9)
+    assert not big_budget.host_feed
+    np.testing.assert_array_equal(
+        small_budget.batch(np.array([1, 3])), ds.images[[1, 3]])
+
+
+def test_host_feed_training_matches_device_feed(demo_env):
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_env
+    raw = yaml.safe_load(open(cfg_path))
+    raw["debug"].update(epochs=1, max_train_batches=3, max_val_batches=2)
+    raw["training"]["scan_chunk_steps"] = 2
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_dev = train()
+    dev_leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(state_dev.params)]
+
+    raw["training"]["max_device_dataset_mb"] = 0  # force host streaming
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_host = train()
+    host_leaves = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(state_host.params)]
+
+    for a, b in zip(dev_leaves, host_leaves):
+        np.testing.assert_array_equal(a, b)
