@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--image-size", type=int, default=128)
     parser.add_argument("--steps", type=int, default=96)
     parser.add_argument("--warmup", type=int, default=16)
+    parser.add_argument("--verbose", action="store_true",
+                        help="print a FLOP/roofline breakdown to stderr")
     args = parser.parse_args()
 
     import jax
@@ -97,6 +99,15 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = args.batch_size * K * n_chunks / dt
+    if args.verbose:
+        from betavae_tpu.utils.flops import train_step_flops, utilization
+
+        fl = train_step_flops(args.image_size, 1, 64, 64, 4,
+                              batch_size=args.batch_size)
+        util = utilization(dt / (K * n_chunks), fl["train_flops_per_step"])
+        print(json.dumps({"step_ms": round(dt / (K * n_chunks) * 1e3, 3),
+                          **{k: v for k, v in fl.items() if k != "layers"},
+                          **util}), file=sys.stderr)
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_128px_bs32",
         "value": round(img_per_sec, 2),

@@ -58,8 +58,10 @@ def gather_reconstruction_metrics(model, variables, test_ds: ArrayDataset,
     per_class: dict = {}
     for bi, (x, labels, names, _) in enumerate(_batches(test_ds, bs)):
         key, sub = jax.random.split(key)
+        # deterministic=None → model's own deterministic_overfit flag decides,
+        # like the reference's bare model.forward(x) (recon_metrics.py:71)
         recon, mu, logvar, z = model.forward(variables, x, key=sub,
-                                             deterministic=False)
+                                             deterministic=None)
         m = batched_image_metrics(recon, x)
         mses = np.asarray(m["mse"])
         psnrs = np.asarray(m["psnr"])
@@ -265,7 +267,7 @@ def save_recon_traversal_comparison(model, variables, test_ds: ArrayDataset,
     span = span if span is not None else get(cfg.inference, "edit_span", 3.0)
     key = jax.random.PRNGKey(int(cfg.data.seed))
     recon, mu, logvar, _ = model.forward(variables, x, key=key,
-                                         deterministic=False)
+                                         deterministic=None)
     base = np.asarray(mu)
     end_neg = model.decode(variables, base - span * direction)
     end_pos = model.decode(variables, base + span * direction)
