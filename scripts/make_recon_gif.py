@@ -1,25 +1,20 @@
-"""Create a GIF from recon panels (bottom/reconstruction half only).
+"""Animate the per-epoch recon panels into a GIF (thin CLI).
 
-Capability parity with reference ``scripts/make_recon_gif.py:22-61``:
-natural-sorted ``recon_epoch*.png`` frames, bottom-half crop by default,
-``--no-crop/--include-diff/--duration/--pattern/--output`` flags.
+Logic lives in ``betavae_tpu.eval.logs.recon_gif``; parity with reference
+``scripts/make_recon_gif.py`` (numeric-aware ordering, bottom-half crop,
+``--no-crop/--include-diff`` flags).
 """
 import argparse
-import glob
 import os
-from pathlib import Path
 
 import _bootstrap  # noqa: F401
-from PIL import Image
 
 from betavae_tpu.config import get_config
+from betavae_tpu.eval.logs import epoch_sort_key, recon_gif  # noqa: F401
 
 
-def natural_sort_key(path):
-    stem = Path(path).stem
-    digits = "".join(ch if ch.isdigit() else " " for ch in stem).split()
-    nums = [int(x) for x in digits] if digits else []
-    return nums, path
+def natural_sort_key(path):  # kept name for API/test compatibility
+    return epoch_sort_key(path)
 
 
 def main():
@@ -38,33 +33,15 @@ def main():
     parser.add_argument("--include-diff", action="store_true",
                         help="Include *_diff.png files (default: exclude).")
     args = parser.parse_args()
-
     if args.config:
         os.environ["CONFIG_PATH"] = args.config
+
     cfg = get_config()
-    figures_dir = Path(cfg.paths.figures_dir)
-    files = sorted(glob.glob(str(figures_dir / args.pattern)),
-                   key=natural_sort_key)
-    if not args.include_diff:
-        files = [f for f in files if "_diff" not in Path(f).stem]
-    if not files:
-        raise FileNotFoundError(
-            f"No files matching {args.pattern} found in {figures_dir}")
-
-    frames = []
-    for f in files:
-        img = Image.open(f)
-        if args.no_crop:
-            frames.append(img.copy())
-        else:
-            w, h = img.size
-            frames.append(img.crop((0, h // 2, w, h)))
-
-    out_path = figures_dir / args.output
-    print(len(frames), "frames to save to", out_path)
-    frames[0].save(out_path, save_all=True, append_images=frames[1:],
-                   duration=args.duration, loop=0)
-    print(f"Saved GIF to {out_path} ({len(frames)} frames)")
+    out = recon_gif(cfg.paths.figures_dir, pattern=args.pattern,
+                    output=args.output, duration_ms=args.duration,
+                    crop_bottom_half=not args.no_crop,
+                    include_diff=args.include_diff)
+    print(f"Saved GIF to {out}")
 
 
 if __name__ == "__main__":

@@ -1,12 +1,13 @@
-"""Preprocess the brain tumour dataset into processed train/test splits.
+"""Preprocess raw images into the processed train/test tree (thin CLI).
 
-Capability parity with reference ``scripts/preprocess_data.py:33-55``:
-``--config/--normalization{minmax,global_z}/--overwrite``; runs
-split_from_raw → preprocess_dataset → verify_processed.
+Parity with reference ``scripts/preprocess_data.py:33-55``; the pipeline
+itself lives in ``betavae_tpu.data.preprocess``:
 
-Expected raw layout (per config): subfolders are classes, e.g.
-  data/braintumour/{glioma,meningioma,pituitary,notumor}/*.png
-or a pre-split Training/Testing tree.
+1. ``split_from_raw`` — copy a pre-split ``Training/Testing`` tree, or make a
+   seeded per-class 80/20 split from class folders under ``paths.raw_dir``,
+2. ``preprocess_dataset`` — in-place resize to ``data.image_size`` with
+   ``minmax`` (resize-only) or ``global_z`` normalization,
+3. ``verify_processed`` — sanity-check the resulting split dirs.
 """
 import argparse
 import os
@@ -14,35 +15,31 @@ import os
 import _bootstrap  # noqa: F401
 
 from betavae_tpu.config import get_config
-from betavae_tpu.data.preprocess import (preprocess_dataset, split_from_raw,
-                                         verify_processed)
+from betavae_tpu.data import preprocess
 
 
 def main():
-    parser = argparse.ArgumentParser(
-        description="Preprocess brain tumour dataset into processed/train|test splits.")
-    parser.add_argument("--config", type=str, default=None,
-                        help="Path to YAML config (defaults to configs/beta_vae_se.yaml).")
-    parser.add_argument("--normalization", type=str, default="minmax",
-                        choices=["minmax", "global_z"],
-                        help="Normalization mode for resizing.")
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--config", default=None,
+                        help="Path to YAML config (default resolution order "
+                             "applies).")
+    parser.add_argument("--normalization", default="minmax",
+                        choices=("minmax", "global_z"))
     parser.add_argument("--overwrite", action="store_true",
-                        help="Remove existing processed dir before copying/splitting.")
+                        help="Rebuild the processed dir from scratch.")
     args = parser.parse_args()
-
     if args.config:
         os.environ["CONFIG_PATH"] = args.config
+
     cfg = get_config()
-
-    print(f"Using raw data from: {cfg.paths.raw_dir}")
-    print(f"Writing processed data to: {cfg.paths.processed_dir}")
-    print(f"Normalization mode: {args.normalization}")
-    print("Classes are auto-detected from subfolders under raw_dir.")
-
-    split_from_raw(overwrite=args.overwrite)
-    preprocess_dataset(compute_stats=(args.normalization == "global_z"),
-                       normalization_mode=args.normalization)
-    verify_processed()
+    print(f"raw: {cfg.paths.raw_dir} -> processed: {cfg.paths.processed_dir} "
+          f"(normalization={args.normalization}; classes auto-detected from "
+          "raw subfolders)")
+    preprocess.split_from_raw(overwrite=args.overwrite)
+    preprocess.preprocess_dataset(
+        compute_stats=(args.normalization == "global_z"),
+        normalization_mode=args.normalization)
+    preprocess.verify_processed()
     print("Preprocessing complete.")
 
 
