@@ -35,15 +35,18 @@ from ..ops.metrics import batched_image_metrics
 
 
 def _batches(ds: ArrayDataset, batch_size: int):
+    """Fixed-shape batches: the ragged tail is padded by repetition and the
+    yielded ``count`` marks how many leading samples are real — one XLA
+    compile per program instead of two."""
     n = len(ds)
     for s in range(0, n, batch_size):
-        sl = slice(s, min(s + batch_size, n))
-        yield (
-            ds.images[sl].astype(np.float32) / 255.0,
-            ds.labels[sl],
-            ds.class_names[sl.start : sl.stop],
-            ds.paths[sl.start : sl.stop],
-        )
+        e = min(s + batch_size, n)
+        count = e - s
+        x = ds.images[s:e].astype(np.float32) / 255.0
+        if count < batch_size:
+            x = np.concatenate(
+                [x, np.repeat(x[-1:], batch_size - count, axis=0)], axis=0)
+        yield (x, ds.labels[s:e], ds.class_names[s:e], ds.paths[s:e], count)
 
 
 def gather_reconstruction_metrics(model, variables, test_ds: ArrayDataset,
@@ -56,20 +59,20 @@ def gather_reconstruction_metrics(model, variables, test_ds: ArrayDataset,
     bs = int(cfg.training.batch_size)
     all_m, all_p, all_s = [], [], []
     per_class: dict = {}
-    for bi, (x, labels, names, _) in enumerate(_batches(test_ds, bs)):
+    for bi, (x, labels, names, _, count) in enumerate(_batches(test_ds, bs)):
         key, sub = jax.random.split(key)
         # deterministic=None → model's own deterministic_overfit flag decides,
         # like the reference's bare model.forward(x) (recon_metrics.py:71)
         recon, mu, logvar, z = model.forward(variables, x, key=sub,
                                              deterministic=None)
         m = batched_image_metrics(recon, x)
-        mses = np.asarray(m["mse"])
-        psnrs = np.asarray(m["psnr"])
-        ssims = np.asarray(m["ssim"])
+        mses = np.asarray(m["mse"])[:count]
+        psnrs = np.asarray(m["psnr"])[:count]
+        ssims = np.asarray(m["ssim"])[:count]
         all_m.extend(mses.tolist())
         all_p.extend(psnrs.tolist())
         all_s.extend(ssims.tolist())
-        for i in range(x.shape[0]):
+        for i in range(count):
             cname = names[i] or test_ds.idx_to_class.get(int(labels[i]),
                                                          str(int(labels[i])))
             bucket = per_class.setdefault(cname,
@@ -94,9 +97,9 @@ def extract_latents(model, variables, ds: ArrayDataset, limit=None):
     cfg = get_config()
     bs = int(cfg.training.batch_size)
     latents, labels, paths = [], [], []
-    for x, lab, _, pth in _batches(ds, bs):
+    for x, lab, _, pth, count in _batches(ds, bs):
         mu, logvar = model.encode(variables, x)
-        latents.append(np.asarray(mu))
+        latents.append(np.asarray(mu)[:count])
         labels.extend(lab.tolist())
         paths.extend(pth)
         if limit and len(labels) >= limit:

@@ -24,10 +24,14 @@ def encode_dataset(model, variables, ds: ArrayDataset):
     bs = int(cfg.training.batch_size)
     mus, lvs = [], []
     for s in range(0, len(ds), bs):
-        x = ds.images[s : s + bs].astype(np.float32) / 255.0
+        e = min(s + bs, len(ds))
+        x = ds.images[s:e].astype(np.float32) / 255.0
+        if e - s < bs:  # pad the ragged tail: one compile per program
+            x = np.concatenate(
+                [x, np.repeat(x[-1:], bs - (e - s), axis=0)], axis=0)
         mu, logvar = model.encode(variables, x)
-        mus.append(np.asarray(mu))
-        lvs.append(np.asarray(logvar))
+        mus.append(np.asarray(mu)[: e - s])
+        lvs.append(np.asarray(logvar)[: e - s])
     Z = np.concatenate(mus, axis=0) if mus else np.zeros((0, model.latent_dim))
     LV = np.concatenate(lvs, axis=0) if lvs else np.zeros_like(Z)
     return Z, LV, list(ds.labels), list(ds.paths)

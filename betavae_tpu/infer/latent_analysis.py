@@ -32,10 +32,14 @@ def extract_latents_with_kl(model, variables, ds: ArrayDataset):
     bs = int(cfg.training.batch_size)
     lat, kls = [], []
     for s in range(0, len(ds), bs):
-        x = ds.images[s : s + bs].astype(np.float32) / 255.0
+        e = min(s + bs, len(ds))
+        x = ds.images[s:e].astype(np.float32) / 255.0
+        if e - s < bs:  # pad the ragged tail: one compile per program
+            x = np.concatenate(
+                [x, np.repeat(x[-1:], bs - (e - s), axis=0)], axis=0)
         mu, logvar = model.encode(variables, x)
-        mu = np.asarray(mu)
-        logvar = np.asarray(logvar)
+        mu = np.asarray(mu)[: e - s]
+        logvar = np.asarray(logvar)[: e - s]
         lat.append(mu)
         kls.append(0.5 * (mu**2 + np.exp(logvar) - logvar - 1.0))
     L = np.concatenate(lat, axis=0)
