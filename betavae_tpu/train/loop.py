@@ -728,7 +728,13 @@ def train(resume: str = "none", mesh=None):
         }
         log_metrics(metrics, step=total_steps, phase="val")
 
-        ckpt.save_latest(state, epoch, total_steps, {"val_total": val_total})
+        # 'latest' cadence is configurable (additive key; reference saved
+        # every epoch — the default): on tunneled/slow storage the D2H pull
+        # of model+optimizer state can dominate short epochs
+        ckpt_every = int(get(cfg.training, "checkpoint_every_epochs", 1))
+        if epoch % max(1, ckpt_every) == 0 or epoch == epochs:
+            ckpt.save_latest(state, epoch, total_steps,
+                             {"val_total": val_total})
         ckpt.save_best(state, epoch, total_steps, {"val_total": val_total},
                        monitor_value=val_total)
 

@@ -225,3 +225,42 @@ def test_run_evaluation_driver(trained_env):
     figs = os.listdir(cfg.paths.figures_dir)
     # dim order came from latent_ranking_summary.json (3 = traversal_steps)
     assert any(f.startswith("traversal_dim") for f in figs)
+
+
+def test_checkpoint_cadence_knob(tmp_path_factory):
+    """training.checkpoint_every_epochs gates 'latest' saves (additive key)."""
+    import yaml
+
+    from betavae_tpu.config import get_config, reset_config_cache
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.train.loop import train
+    from tests.conftest import _write_demo_config
+
+    reset_config_cache()
+    tmp = tmp_path_factory.mktemp("ckpt_cadence")
+    path = _write_demo_config(tmp)
+    raw = yaml.safe_load(open(path))
+    raw["debug"].update(epochs=3, max_train_batches=2, max_val_batches=1)
+    raw["training"]["checkpoint_every_epochs"] = 2
+    with open(path, "w") as f:
+        yaml.safe_dump(raw, f)
+    cfg = get_config(path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=4,
+                       test_per_class=2, size=cfg.data.image_size)
+
+    saves = []
+    from betavae_tpu.train import callbacks
+
+    orig = callbacks.CheckpointManager.save_latest
+
+    def spy(self, state, epoch, total_steps, extra):
+        saves.append(epoch)
+        return orig(self, state, epoch, total_steps, extra)
+
+    callbacks.CheckpointManager.save_latest = spy
+    try:
+        train()
+    finally:
+        callbacks.CheckpointManager.save_latest = orig
+    # epochs 2 (cadence) and 3 (final) saved; epoch 1 skipped
+    assert saves == [2, 3]
