@@ -54,3 +54,24 @@ def test_mesh_batch_size_divisibility(demo_env):
     get_config(demo_env)
     with pytest.raises(ValueError, match="divide evenly"):
         train(mesh=data_parallel_mesh(8))
+
+
+def test_mesh_with_remat_and_host_feed(demo_env):
+    """Interaction smoke: mesh × remat × host-feed streaming in one run."""
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+    import jax
+    import numpy as np
+    import yaml
+
+    raw = yaml.safe_load(open(demo_env))
+    raw["training"].update(batch_size=8, scan_chunk_steps=2, remat=True,
+                           max_device_dataset_mb=0)  # force host streaming
+    raw["debug"].update(epochs=1, max_train_batches=3, max_val_batches=1)
+    with open(demo_env, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(demo_env)
+    state = train(mesh=data_parallel_mesh(8))
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
