@@ -73,14 +73,11 @@ class BatchPlan:
     always ``(batch_size,)`` and ``mask`` flags real (non-padded) samples.
     """
 
-    def __init__(self, n: int, batch_size: int, *, shuffle: bool, seed: int,
-                 pad_multiple: int = 1):
+    def __init__(self, n: int, batch_size: int, *, shuffle: bool, seed: int):
         self.n = int(n)
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = int(seed)
-        # pad so every device in a data mesh gets an equal slice
-        self.pad_multiple = max(1, int(pad_multiple))
 
     @property
     def steps_per_epoch(self) -> int:

@@ -28,7 +28,7 @@ mu/logvar heads (KL and sampling stay fp32).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional, Sequence
 

@@ -29,7 +29,7 @@ import json
 import os
 import time
 from functools import partial
-from typing import Any, Optional
+from typing import Any
 
 import flax.struct
 import jax
@@ -42,8 +42,7 @@ from ..data.dataset import build_datasets
 from ..data.pipeline import BatchPlan, DeviceData, gather_batch
 from ..eval.probes import compute_probe_metrics
 from ..io.artifacts import ensure_dirs, save_image_grid
-from ..io.checkpoint import (flatten_pytree, load_sharded_checkpoint,
-                             unflatten_like)
+from ..io.checkpoint import load_sharded_checkpoint, unflatten_like
 from ..logging_utils import init_logger, log_config, log_metrics
 from ..models.beta_vae import BetaVAE, model_from_config
 from ..models.losses import LossSpec, compute_loss, loss_spec_from_config
@@ -506,10 +505,8 @@ def train(resume: str = "none", mesh=None):
         from ..parallel.mesh import chunk_batch_sharding
 
         chunk_sh = chunk_batch_sharding(mesh)
-    train_plan = BatchPlan(len(train_ds), batch_size, shuffle=True, seed=seed,
-                           pad_multiple=n_dev)
-    test_plan = BatchPlan(len(test_ds), batch_size, shuffle=False, seed=seed,
-                          pad_multiple=n_dev)
+    train_plan = BatchPlan(len(train_ds), batch_size, shuffle=True, seed=seed)
+    test_plan = BatchPlan(len(test_ds), batch_size, shuffle=False, seed=seed)
     max_train_batches = (
         int(debug_cfg.max_train_batches) if debug_enabled else None
     )

@@ -53,10 +53,3 @@ def build_optimizer(cfg=None) -> optax.GradientTransformation:
         return optax.chain(*chain, optax.scale_by_learning_rate(learning_rate))
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
-
-
-def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR hyperparameter in-place-functionally."""
-    return opt_state._replace(
-        hyperparams={**opt_state.hyperparams, "learning_rate": lr}
-    )
