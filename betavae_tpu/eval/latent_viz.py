@@ -48,73 +48,80 @@ def reduce_latents(latents, method="umap", n_neighbors=15, min_dist=0.1,
     raise ValueError(f"unknown reduction method {method}")
 
 
+def _class_series(labels, binary, class_names=None):
+    """``[(class_id, display_name, color), ...]`` for every class to plot.
+
+    Binary keeps the reference's fixed blue/red pair; multiclass cycles tab10
+    (ref ``latent_viz.py:29-40``).
+    """
+    import matplotlib.pyplot as plt
+
+    if binary:
+        return [(0, "0", "#1f77b4"), (1, "1", "#d62728")]
+    tab10 = plt.get_cmap("tab10")
+    return [
+        (c, class_names.get(c, str(c)) if class_names else str(c), tab10(i))
+        for i, c in enumerate(sorted(np.unique(labels)))
+    ]
+
+
 def plot_latent_scatter(emb, labels, title, binary=True, class_names=None):
     import matplotlib.pyplot as plt
 
-    plt.figure(figsize=(5, 5))
-    if binary:
-        colors = ["#1f77b4", "#d62728"]
-        for c in (0, 1):
-            mask = labels == c
-            plt.scatter(emb[mask, 0], emb[mask, 1], s=10, alpha=0.7,
-                        c=colors[c], label=str(c))
-    else:
-        uniq = sorted(np.unique(labels))
-        cmap = plt.get_cmap("tab10")
-        for i, c in enumerate(uniq):
-            mask = labels == c
-            cname = class_names.get(c, str(c)) if class_names else str(c)
-            plt.scatter(emb[mask, 0], emb[mask, 1], s=10, alpha=0.7,
-                        c=[cmap(i)], label=cname)
-    plt.legend(markerscale=2)
-    plt.title(title)
-    plt.tight_layout()
-    return plt.gcf()
+    fig, ax = plt.subplots(figsize=(5, 5))
+    for cls, cname, color in _class_series(labels, binary, class_names):
+        pts = emb[labels == cls]
+        ax.scatter(pts[:, 0], pts[:, 1], s=10, alpha=0.7, color=color,
+                   label=cname)
+    ax.set_title(title)
+    ax.legend(markerscale=2)
+    fig.tight_layout()
+    return fig
 
 
 def plot_latent_scatter3d(emb, labels, title, class_names=None):
     import matplotlib.pyplot as plt
 
     fig = plt.figure(figsize=(6, 5))
-    ax = fig.add_subplot(111, projection="3d")
-    uniq = sorted(np.unique(labels))
-    cmap = plt.get_cmap("tab10")
-    for i, c in enumerate(uniq):
-        mask = labels == c
-        cname = class_names.get(c, str(c)) if class_names else str(c)
-        ax.scatter(emb[mask, 0], emb[mask, 1], emb[mask, 2], s=10, alpha=0.7,
-                   color=cmap(i), label=cname)
+    ax = fig.add_subplot(projection="3d")
+    for cls, cname, color in _class_series(labels, binary=False,
+                                           class_names=class_names):
+        pts = emb[labels == cls]
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=10, alpha=0.7,
+                   color=color, label=cname)
     ax.set_title(title)
     ax.legend()
-    plt.tight_layout()
+    fig.tight_layout()
     plt.show()  # reference shows interactively, does not save (quirk kept)
     plt.close(fig)
 
 
 def per_dim_violin(latents, labels, binary=True):
+    """One violin subplot per latent dimension → ``latent_per_dim_violin.png``
+    (ref ``latent_viz.py:95-118``); empty class groups plot as a zero stub."""
     import matplotlib.pyplot as plt
 
-    k = latents.shape[1]
-    cols = min(4, k)
-    rows = int(np.ceil(k / cols))
-    plt.figure(figsize=(3 * cols, 2.4 * rows))
-    for i in range(k):
-        ax = plt.subplot(rows, cols, i + 1)
-        if binary:
-            groups = [latents[labels == 0, i], latents[labels == 1, i]]
-            labels_x = ["0", "1"]
-        else:
-            uniq = sorted(np.unique(labels))
-            groups = [latents[labels == c, i] for c in uniq]
-            labels_x = [str(c) for c in uniq]
-        groups = [g if len(g) else np.zeros(1) for g in groups]
-        ax.violinplot(groups, showextrema=False)
-        ax.set_xticks(range(1, len(groups) + 1))
-        ax.set_xticklabels(labels_x, rotation=0 if binary else 90)
-        ax.set_title(f"z{i}")
-    plt.subplots_adjust(hspace=0.4, wspace=0.3)
-    save_figure(plt.gcf(), "latent_per_dim_violin")
-    plt.close()
+    series = _class_series(labels, binary)
+    names = [s[1] for s in series]
+    dim_count = latents.shape[1]
+    cols = min(4, dim_count)
+    rows = -(-dim_count // cols)
+
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 2.4 * rows),
+                             squeeze=False)
+    for dim, ax in enumerate(axes.flat):
+        if dim >= dim_count:
+            ax.set_axis_off()
+            continue
+        groups = [latents[labels == cls, dim] for cls, _, _ in series]
+        ax.violinplot([g if g.size else np.zeros(1) for g in groups],
+                      showextrema=False)
+        ax.set_xticks(range(1, len(groups) + 1), labels=names,
+                      rotation=0 if binary else 90)
+        ax.set_title(f"z{dim}")
+    fig.subplots_adjust(hspace=0.4, wspace=0.3)
+    save_figure(fig, "latent_per_dim_violin")
+    plt.close(fig)
 
 
 def generate_latent_visualizations(model, variables, test_ds):

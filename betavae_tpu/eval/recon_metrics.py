@@ -112,180 +112,217 @@ def extract_latents(model, variables, ds: ArrayDataset, limit=None):
     return L, np.asarray(labels), paths
 
 
+def _idx_to_name(class_map) -> dict:
+    """Invert a ``{name: idx}`` map; empty map → empty dict."""
+    return {v: k for k, v in class_map.items()} if class_map else {}
+
+
+def _held_out_split(n: int, train_fraction: float, seed: int):
+    """Seeded permutation split; identical stream to the reference's
+    ``RandomState(seed).shuffle(arange(n))`` (ref ``recon_metrics.py:127-133``)."""
+    order = np.random.RandomState(seed).permutation(n)
+    cut = int(train_fraction * n)
+    return order[:cut], order[cut:]
+
+
 def logistic_probe(latents, labels, train_fraction=0.3, seed=42, binary=True,
                    return_model=False):
+    """Held-out logistic probe on latent means (ref ``recon_metrics.py:126-169``).
+
+    Binary mode reports AUC/F1 at a 0.5 threshold on P(class 1); multiclass
+    reports macro-F1 / macro-OVR-AUC / per-class F1 on argmax predictions.
+    """
     from sklearn.linear_model import LogisticRegression
     from sklearn.metrics import confusion_matrix, f1_score, roc_auc_score
 
-    n = latents.shape[0]
-    idx = np.arange(n)
-    rng = np.random.RandomState(seed)
-    rng.shuffle(idx)
-    split = int(train_fraction * n)
-    train_idx, test_idx = idx[:split], idx[split:]
-    y_train, y_test = labels[train_idx], labels[test_idx]
+    fit_idx, held_idx = _held_out_split(latents.shape[0], train_fraction, seed)
     clf = LogisticRegression(max_iter=2000)
-    clf.fit(latents[train_idx], y_train)
-    probs = clf.predict_proba(latents[test_idx])
-    preds = (np.argmax(probs, axis=1) if probs.shape[1] > 1
-             else (probs[:, 0] >= 0.5).astype(int))
+    clf.fit(latents[fit_idx], labels[fit_idx])
+    probs = clf.predict_proba(latents[held_idx])
+    y_held = labels[held_idx]
     classes = np.unique(labels)
+
+    res = {}
     if binary:
-        auc = roc_auc_score(y_test, probs[:, 1])
-        f1 = f1_score(y_test, (probs[:, 1] >= 0.5).astype(int))
-        cm = confusion_matrix(y_test, (probs[:, 1] >= 0.5).astype(int),
-                              labels=classes)
-        res = {"probe_auc": float(auc), "probe_f1": float(f1),
-               "confusion_matrix": cm.tolist(), "classes": classes.tolist()}
+        hard = (probs[:, 1] >= 0.5).astype(int)
+        res["probe_auc"] = float(roc_auc_score(y_held, probs[:, 1]))
+        res["probe_f1"] = float(f1_score(y_held, hard))
     else:
-        macro_f1 = f1_score(y_test, preds, average="macro")
+        hard = (np.argmax(probs, axis=1) if probs.shape[1] > 1
+                else (probs[:, 0] >= 0.5).astype(int))
+        res["probe_macro_f1"] = float(f1_score(y_held, hard, average="macro"))
         try:
-            macro_auc = roc_auc_score(y_test, probs, multi_class="ovr",
-                                      average="macro")
+            res["probe_macro_auc"] = float(roc_auc_score(
+                y_held, probs, multi_class="ovr", average="macro"))
         except Exception:
-            macro_auc = float("nan")
-        cm = confusion_matrix(y_test, preds, labels=classes)
-        per_class_f1 = f1_score(y_test, preds, average=None, labels=classes)
-        res = {"probe_macro_f1": float(macro_f1),
-               "probe_macro_auc": float(macro_auc),
-               "confusion_matrix": cm.tolist(), "classes": classes.tolist(),
-               "per_class_f1": per_class_f1.tolist()}
-    if return_model:
-        return res, clf, classes
-    return res
+            res["probe_macro_auc"] = float("nan")
+    res["confusion_matrix"] = confusion_matrix(y_held, hard,
+                                               labels=classes).tolist()
+    res["classes"] = classes.tolist()
+    if not binary:
+        res["per_class_f1"] = f1_score(y_held, hard, average=None,
+                                       labels=classes).tolist()
+    return (res, clf, classes) if return_model else res
 
 
 def compute_probe_directions(probe_model, classes, class_map=None) -> dict:
-    if probe_model is None or not hasattr(probe_model, "coef_"):
+    """Unit-norm logreg coefficient rows keyed by class name
+    (ref ``recon_metrics.py:172-185``); zero rows are dropped."""
+    coef = getattr(probe_model, "coef_", None)
+    if coef is None:
         return {}
-    coef = probe_model.coef_
-    if coef.ndim == 1:
-        coef = coef[None, :]
-    idx_to_class = {v: k for k, v in class_map.items()} if class_map else {}
-    dirs = {}
-    for cls_idx, row in enumerate(coef):
-        cname = idx_to_class.get(classes[cls_idx], str(classes[cls_idx]))
-        norm = np.linalg.norm(row)
-        if norm > 0:
-            dirs[cname] = (row / norm).astype(np.float32)
-    return dirs
+    coef = np.atleast_2d(coef)
+    names = _idx_to_name(class_map)
+    norms = np.linalg.norm(coef, axis=1)
+    return {
+        names.get(cls, str(cls)): (row / n).astype(np.float32)
+        for cls, row, n in zip(classes, coef, norms) if n > 0
+    }
 
 
 def traversal_probe_validation(probe_model, classes, latents, labels,
                                class_dirs, steps=7, span=3.0, class_map=None):
+    """Probe-probability sweeps along each class direction
+    (ref ``recon_metrics.py:188-233``) → ``traversal_probe_validation.csv``.
+
+    Redesign: all class sweeps are stacked into one ``predict_proba`` call
+    (probe inference is row-independent) instead of one call per class.
+    """
     if probe_model is None or not class_dirs:
         return {}, None
     import pandas as pd
 
-    vals = np.linspace(-span, span, steps)
-    idx_to_class = {v: k for k, v in class_map.items()} if class_map else {}
-    summary_rows = []
-    for cls_id in classes:
-        cname = idx_to_class.get(cls_id, str(cls_id))
-        dir_vec = class_dirs.get(cname)
-        if dir_vec is None:
+    sweep = np.linspace(-span, span, steps)
+    names = _idx_to_name(class_map)
+    grand_mean = latents.mean(axis=0)
+
+    # Assemble (class, anchor, direction) work items, then batch the sweep.
+    work = []
+    for pos, cls_id in enumerate(classes):
+        cname = names.get(cls_id, str(cls_id))
+        direction = class_dirs.get(cname)
+        if direction is None:
             continue
-        mask = labels == cls_id
-        base = latents[mask].mean(axis=0) if mask.any() else latents.mean(axis=0)
-        samples = np.array([base + v * dir_vec for v in vals])
-        try:
-            probs = probe_model.predict_proba(samples)
-        except Exception:
-            continue
-        class_pos = np.where(classes == cls_id)[0]
-        if class_pos.size == 0:
-            continue
-        cls_probs = probs[:, class_pos[0]]
-        delta = float(cls_probs[-1] - cls_probs[0])
-        try:
-            corr = float(np.corrcoef(vals, cls_probs)[0, 1])
-        except Exception:
-            corr = float("nan")
-        summary_rows.append({"class": cname, "start_prob": float(cls_probs[0]),
-                             "end_prob": float(cls_probs[-1]), "delta": delta,
-                             "corr": corr})
-    if not summary_rows:
+        members = latents[labels == cls_id]
+        anchor = members.mean(axis=0) if members.size else grand_mean
+        work.append((pos, cname, anchor, np.asarray(direction)))
+    if not work:
         return {}, None
-    df = pd.DataFrame(summary_rows)
+
+    grid = np.concatenate(
+        [a[None, :] + sweep[:, None] * d[None, :] for _, _, a, d in work])
+    try:
+        all_probs = probe_model.predict_proba(grid)
+    except Exception:
+        return {}, None
+
+    rows = []
+    for i, (pos, cname, _, _) in enumerate(work):
+        curve = all_probs[i * steps:(i + 1) * steps, pos]
+        corr = float(np.corrcoef(sweep, curve)[0, 1])
+        rows.append({
+            "class": cname,
+            "start_prob": float(curve[0]),
+            "end_prob": float(curve[-1]),
+            "delta": float(curve[-1] - curve[0]),
+            "corr": corr,
+        })
+    df = pd.DataFrame(rows)
     save_table(df, "traversal_probe_validation")
     metrics = {}
-    for row in summary_rows:
-        metrics[f"traversal_probe/{row['class']}/delta"] = row["delta"]
-        metrics[f"traversal_probe/{row['class']}/corr"] = row["corr"]
+    for r in rows:
+        metrics[f"traversal_probe/{r['class']}/delta"] = r["delta"]
+        metrics[f"traversal_probe/{r['class']}/corr"] = r["corr"]
     return metrics, df
 
 
 def save_logreg_weight_heatmap(probe_model, classes, class_map=None,
                                name="latent_logreg_weights"):
+    """Diverging heatmap of probe weights, classes × latent dims
+    (same artifact role as ref ``recon_metrics.py:236-260``; layout is ours)."""
     import matplotlib.pyplot as plt
 
-    if probe_model is None or not hasattr(probe_model, "coef_"):
+    coef = getattr(probe_model, "coef_", None)
+    if coef is None:
         return None
-    coef = probe_model.coef_
-    if coef.ndim == 1:
-        coef = coef[None, :]
-    idx_to_class = {v: k for k, v in class_map.items()} if class_map else {}
-    class_labels = [idx_to_class.get(int(c), str(int(c))) for c in classes]
-    vmax = np.max(np.abs(coef))
-    vmax = float(vmax) if vmax > 0 else 1.0
-    fig, ax = plt.subplots(figsize=(10, 4))
-    im = ax.imshow(coef, aspect="auto", cmap="coolwarm", vmin=-vmax, vmax=vmax)
-    xticks = np.arange(coef.shape[1])
-    step = max(1, coef.shape[1] // 16)
-    ax.set_xticks(xticks[::step])
-    ax.set_xticklabels([str(i) for i in xticks[::step]], rotation=90)
-    ax.set_yticks(np.arange(len(class_labels)))
-    ax.set_yticklabels(class_labels)
-    ax.set_xlabel("latent dimension")
-    ax.set_ylabel("class")
-    ax.set_title("Logistic regression weights")
+    coef = np.atleast_2d(coef)
+    n_cls, n_dim = coef.shape
+    names = _idx_to_name(class_map)
+    limit = float(np.abs(coef).max()) or 1.0
+
+    fig, ax = plt.subplots(figsize=(11, 1.2 + 0.8 * n_cls))
+    im = ax.pcolormesh(coef, cmap="RdBu_r", vmin=-limit, vmax=limit)
+    tick_every = max(1, int(np.ceil(n_dim / 32)))
+    ax.set_xticks(np.arange(0, n_dim, tick_every) + 0.5,
+                  labels=np.arange(0, n_dim, tick_every))
+    # classes[:n_cls]: coef_ may have fewer rows than unique labels when a
+    # class is absent from the probe's train split (ref mislabels silently
+    # there, recon_metrics.py:243-253; we truncate instead of crashing)
+    ax.set_yticks(np.arange(n_cls) + 0.5,
+                  labels=[names.get(int(c), str(int(c)))
+                          for c in classes[:n_cls]])
+    ax.invert_yaxis()
+    ax.set(xlabel="latent dimension", ylabel="class",
+           title="Latent-probe weights per class")
     fig.colorbar(im, ax=ax, label="weight")
     path = save_figure(fig, name)
     plt.close(fig)
     return path
 
 
+def _pick_traversal_direction(class_dirs: dict, cname: str, latent_dim: int):
+    """Class's own probe direction, else any probe direction, else axis 0."""
+    if cname in class_dirs:
+        return np.asarray(class_dirs[cname], np.float32)
+    if class_dirs:
+        return np.asarray(next(iter(class_dirs.values())), np.float32)
+    axis0 = np.zeros((latent_dim,), np.float32)
+    axis0[0] = 1.0
+    return axis0
+
+
 def save_recon_traversal_comparison(model, variables, test_ds: ArrayDataset,
                                     class_dirs=None, span=3.0, steps=7):
+    """``recon_vs_traversal.png``: original / recon / μ∓span·dir panels for the
+    first test image (ref ``recon_metrics.py:263-308``).
+
+    Redesign: the ±span endpoints are decoded in ONE batched decode call
+    (stacked z) instead of two device dispatches.
+    """
     import jax
     import matplotlib.pyplot as plt
 
     cfg = get_config()
-    class_dirs = class_dirs or {}
     if len(test_ds) == 0:
         return None
+    if span is None:
+        span = get(cfg.inference, "edit_span", 3.0)
     x = test_ds.images[:1].astype(np.float32) / 255.0
-    label = int(test_ds.labels[0])
-    idx_to_class = test_ds.idx_to_class
-    cname = idx_to_class.get(label, str(label))
-    direction = None
-    if cname in class_dirs:
-        direction = class_dirs[cname]
-    elif class_dirs:
-        direction = next(iter(class_dirs.values()))
-    if direction is None:
-        direction = np.zeros((model.latent_dim,), np.float32)
-        direction[0] = 1.0
-    direction = np.asarray(direction, np.float32)[None, :]
-    span = span if span is not None else get(cfg.inference, "edit_span", 3.0)
-    key = jax.random.PRNGKey(int(cfg.data.seed))
-    recon, mu, logvar, _ = model.forward(variables, x, key=key,
-                                         deterministic=None)
-    base = np.asarray(mu)
-    end_neg = model.decode(variables, base - span * direction)
-    end_pos = model.decode(variables, base + span * direction)
-    imgs = [x, np.asarray(recon), np.asarray(end_neg), np.asarray(end_pos)]
-    titles = ["original", "reconstruction", f"traverse -{span}",
-              f"traverse +{span}"]
-    fig, axes = plt.subplots(1, len(imgs), figsize=(3 * len(imgs), 3))
-    for ax, img, title in zip(axes, imgs, titles):
-        arr = np.asarray(img)[0]
-        if arr.shape[-1] == 1:
-            ax.imshow(arr[..., 0], cmap="gray", vmin=0, vmax=1)
-        else:
-            ax.imshow(arr, vmin=0, vmax=1)
-        ax.axis("off")
+    cname = test_ds.idx_to_class.get(int(test_ds.labels[0]),
+                                     str(int(test_ds.labels[0])))
+    direction = _pick_traversal_direction(class_dirs or {}, cname,
+                                          model.latent_dim)
+
+    recon, mu, _, _ = model.forward(
+        variables, x, key=jax.random.PRNGKey(int(cfg.data.seed)),
+        deterministic=None)
+    endpoints = np.asarray(mu)[None, 0] + np.stack(
+        [-span * direction, span * direction])
+    ends = np.asarray(model.decode(variables, endpoints))
+
+    panels = [
+        ("original", x[0]),
+        ("reconstruction", np.asarray(recon)[0]),
+        (f"traverse -{span}", ends[0]),
+        (f"traverse +{span}", ends[1]),
+    ]
+    fig, axes = plt.subplots(1, len(panels), figsize=(3 * len(panels), 3))
+    for ax, (title, img) in zip(axes, panels):
+        gray = img.shape[-1] == 1
+        ax.imshow(img[..., 0] if gray else img,
+                  cmap="gray" if gray else None, vmin=0, vmax=1)
         ax.set_title(title)
+        ax.axis("off")
     path = save_figure(fig, "recon_vs_traversal")
     plt.close(fig)
     return path
@@ -300,51 +337,51 @@ def latent_separability_scores(latents, labels, binary=True) -> dict:
         return {"silhouette": float("nan")}
 
 
-def evaluate_full(model, variables, train_ds: ArrayDataset,
-                  test_ds: ArrayDataset) -> dict:
-    """Full eval driver (ref ``recon_metrics.py:326-375``)."""
+def _write_summary_tables(report: dict, probe: dict) -> None:
+    """``metrics_summary.csv`` (metric,value rows) + ``confusion_matrix.csv``."""
     import pandas as pd
 
+    save_table(pd.DataFrame({"metric": list(report), "value": list(report.values())}),
+               "metrics_summary")
+    cm, classes = probe.get("confusion_matrix"), probe.get("classes")
+    if cm is not None and classes is not None:
+        frame = pd.DataFrame(cm, columns=[f"pred_{c}" for c in classes],
+                             index=[f"true_{c}" for c in classes])
+        save_table(frame.reset_index(), "confusion_matrix")
+
+
+def evaluate_full(model, variables, train_ds: ArrayDataset,
+                  test_ds: ArrayDataset) -> dict:
+    """Full eval driver (ref ``recon_metrics.py:326-375``): recon metrics →
+    latents → probe → directions → traversal validation → separability →
+    tables, figures, and one phase="eval" METRICS line."""
     cfg = get_config()
     class_map = test_ds.class_to_idx
-    recon_metrics = gather_reconstruction_metrics(model, variables, test_ds)
-    lat_lim = int(cfg.evaluation.num_umap_samples)
-    latents, labels, paths = extract_latents(model, variables, test_ds,
-                                             limit=lat_lim)
     binary = cfg.data.class_mode == "binary"
+    span = float(get(cfg.inference, "edit_span", 3.0))
+    sweep_steps = int(cfg.evaluation.traversal_steps)
+
+    report = gather_reconstruction_metrics(model, variables, test_ds)
+    latents, labels, _ = extract_latents(
+        model, variables, test_ds, limit=int(cfg.evaluation.num_umap_samples))
+
     probe, probe_model, probe_classes = logistic_probe(
-        latents, labels, train_fraction=float(cfg.evaluation.probe_train_split),
-        binary=binary, return_model=True,
-    )
+        latents, labels,
+        train_fraction=float(cfg.evaluation.probe_train_split),
+        binary=binary, return_model=True)
+    report.update(probe)
+
     class_dirs = compute_probe_directions(probe_model, probe_classes, class_map)
-    traversal_metrics, _ = traversal_probe_validation(
+    sweep_metrics, _ = traversal_probe_validation(
         probe_model, probe_classes, latents, labels, class_dirs,
-        steps=int(cfg.evaluation.traversal_steps),
-        span=float(get(cfg.inference, "edit_span", 3.0)),
-        class_map=class_map,
-    )
-    sep = latent_separability_scores(latents, labels, binary=binary)
-    combined = {}
-    combined.update(recon_metrics)
-    combined.update({k: v for k, v in probe.items()})
-    combined.update(traversal_metrics)
-    combined.update(sep)
-    save_table(
-        pd.DataFrame([{"metric": k, "value": v} for k, v in combined.items()]),
-        "metrics_summary",
-    )
-    if "confusion_matrix" in probe and "classes" in probe:
-        cm = pd.DataFrame(
-            probe["confusion_matrix"],
-            columns=[f"pred_{c}" for c in probe["classes"]],
-            index=[f"true_{c}" for c in probe["classes"]],
-        )
-        save_table(cm.reset_index(), "confusion_matrix")
+        steps=sweep_steps, span=span, class_map=class_map)
+    report.update(sweep_metrics)
+    report.update(latent_separability_scores(latents, labels, binary=binary))
+
+    _write_summary_tables(report, probe)
     save_logreg_weight_heatmap(probe_model, probe_classes, class_map)
-    save_recon_traversal_comparison(
-        model, variables, test_ds, class_dirs=class_dirs,
-        span=float(get(cfg.inference, "edit_span", 3.0)),
-        steps=int(cfg.evaluation.traversal_steps),
-    )
-    log_metrics(combined, step=None, phase="eval")
-    return combined
+    save_recon_traversal_comparison(model, variables, test_ds,
+                                    class_dirs=class_dirs, span=span,
+                                    steps=sweep_steps)
+    log_metrics(report, step=None, phase="eval")
+    return report

@@ -101,6 +101,32 @@ def _shard_paths(base_path: str, num_shards: int):
     return [f"{root}_shard{i}{suffix}" for i in range(num_shards)]
 
 
+def normalize_base_path(base_path: str) -> str:
+    """Append the default ``.pt`` extension when the base has none."""
+    return base_path if os.path.splitext(base_path)[1] else base_path + ".pt"
+
+
+def discover_shards(base_path: str) -> list:
+    """Glob the on-disk ``<base>_shard*<ext>`` files for a checkpoint base."""
+    root, ext = os.path.splitext(base_path)
+    return sorted(glob.glob(f"{root}_shard*{ext if ext else '.pt'}"))
+
+
+def checkpoint_shard_count(base_path: str) -> int:
+    """How many files currently hold this checkpoint (1 = unsharded base file).
+
+    Raises ``FileNotFoundError`` when neither shards nor a base file exist.
+    """
+    found = discover_shards(base_path)
+    if found:
+        return len(found)
+    if os.path.exists(base_path):
+        return 1
+    raise FileNotFoundError(
+        f"checkpoint not found: no shard files and no base file at {base_path}"
+    )
+
+
 # ---------------------------------------------------------------------------
 # save / load
 # ---------------------------------------------------------------------------
@@ -118,16 +144,28 @@ def _write_shard(path: str, arrays: dict, meta: dict) -> None:
 
 
 def _read_shard(path: str):
-    arrays = {}
-    meta = {}
-    with zipfile.ZipFile(path, "r") as zf:
-        for name in zf.namelist():
-            if name == _META_KEY + ".json":
-                meta = json.loads(zf.read(name).decode("utf-8"))
-            elif name.endswith(".npy"):
-                buf = _io.BytesIO(zf.read(name))
-                arrays[name[: -len(".npy")]] = np.load(buf, allow_pickle=False)
-    return arrays, meta
+    """Read one shard: our npz-zip format, else a reference torch pickle."""
+    try:
+        with zipfile.ZipFile(path, "r") as zf:
+            names = zf.namelist()
+            if _META_KEY + ".json" in names:
+                arrays = {}
+                meta = {}
+                for name in names:
+                    if name == _META_KEY + ".json":
+                        meta = json.loads(zf.read(name).decode("utf-8"))
+                    elif name.endswith(".npy"):
+                        buf = _io.BytesIO(zf.read(name))
+                        arrays[name[: -len(".npy")]] = np.load(
+                            buf, allow_pickle=False)
+                return arrays, meta
+    except zipfile.BadZipFile:
+        pass
+    # torch checkpoints are zips too (new serializer) or raw pickles (legacy),
+    # but never contain our __meta__.json member
+    from .torch_compat import read_torch_shard
+
+    return read_torch_shard(path)
 
 
 def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):
@@ -181,11 +219,9 @@ def _json_scalar(v) -> bool:
 
 def load_sharded_checkpoint(base_path: str, num_shards: int | None = None) -> dict:
     """Load a sharded checkpoint; merges shards (reference ``io.py:42-70``)."""
-    root, ext = os.path.splitext(base_path)
-    suffix = ext if ext else ".pt"
     shard_paths = []
     if num_shards is None:
-        shard_paths = sorted(glob.glob(f"{root}_shard*{suffix}"))
+        shard_paths = discover_shards(base_path)
         if shard_paths:
             num_shards = len(shard_paths)
     if not shard_paths and num_shards is not None:
@@ -209,12 +245,22 @@ def load_sharded_checkpoint(base_path: str, num_shards: int | None = None) -> di
         for sec in _ARRAY_SECTIONS:
             if merged.get(sec):
                 out[sec] = merged[sec]
-        return out
+        return _maybe_convert_torch_payload(out)
     if os.path.exists(base_path):
         arrays, meta = _read_shard(base_path)
         out = dict(meta)
         for key, arr in arrays.items():
             sec, _, rest = key.partition("/")
             out.setdefault(sec, {})[rest] = arr
-        return out
+        return _maybe_convert_torch_payload(out)
     raise FileNotFoundError(f"No checkpoint found at {base_path} or shards")
+
+
+def _maybe_convert_torch_payload(payload: dict) -> dict:
+    """Translate a reference torch ``model_state`` to flax naming in place."""
+    from .torch_compat import convert_model_state, looks_like_torch_state
+
+    state = payload.get("model_state")
+    if state and looks_like_torch_state(state):
+        payload["model_state"] = convert_model_state(state)
+    return payload

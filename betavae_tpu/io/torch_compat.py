@@ -1,0 +1,195 @@
+"""Read-side interop with the reference's torch-pickle checkpoints.
+
+The reference saves shards with ``torch.save`` (payload dict per shard,
+``src/utils/brain_tumor_utils/io.py:14-39``) and its ``model_state`` keys are
+torch module paths over NCHW tensors (``src/models/beta_vae.py:94-127``).
+This module lets :func:`betavae_tpu.io.checkpoint.load_sharded_checkpoint`
+consume those artifacts directly:
+
+- :func:`read_torch_shard` — unpickle one shard via torch, returning arrays
+  as numpy in this package's ``section/key`` scheme;
+- :func:`convert_model_state` — translate a merged torch-named
+  ``model_state`` into this framework's flax layout: conv kernels OIHW→HWIO,
+  dense weights transposed, SE head naming, GroupNorm/BatchNorm param+stats
+  split, and — the subtle one — a column permutation on ``fc_mu``/
+  ``fc_logvar``/``fc_dec`` because torch flattens the encoder bottleneck in
+  C-major (NCHW) order while this framework flattens H-major (NHWC).
+
+The reference's torch ``optim_state`` (Adam moment tensors keyed by param
+index) has no optax equivalent and is dropped; resuming *training* from a
+torch checkpoint therefore restarts the optimizer (documented deviation,
+``docs/DESIGN.md`` §4).  Eval/inference/reshard are unaffected.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+# torch nn.Module path fragments we deliberately ignore: loss submodules the
+# reference registers on the model (beta_vae.py:92-93) and BN bookkeeping
+_SKIP_PREFIXES = ("lpips_loss.", "ffl_loss.")
+_SKIP_SUFFIXES = (".num_batches_tracked",)
+
+
+def looks_like_torch_state(model_state: dict) -> bool:
+    """True when flat keys use torch module naming (dots, no slashes)."""
+    if not model_state:
+        return False
+    keys = list(model_state)
+    return all("/" not in k for k in keys) and any("." in k for k in keys)
+
+
+def read_torch_shard(path: str):
+    """Unpickle one reference shard → ``(arrays, meta)``.
+
+    ``arrays`` carries ``model_state/<torch key>`` numpy entries; metadata
+    scalars (epoch, total_steps, val_total, …) pass through.  The torch
+    optimizer state is dropped (see module docstring).
+    """
+    import torch
+
+    try:
+        payload = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        payload = torch.load(path, map_location="cpu", weights_only=False)
+
+    arrays = {}
+    meta = {}
+    for key, val in payload.items():
+        if key == "model_state":
+            for k, t in val.items():
+                arrays[f"model_state/{k}"] = np.asarray(
+                    t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+        elif key == "optim_state":
+            meta["torch_optim_state_dropped"] = True
+        else:
+            try:
+                json.dumps(val)
+                meta[key] = val
+            except (TypeError, ValueError):
+                pass
+    return arrays, meta
+
+
+# ---------------------------------------------------------------------------
+# torch module names -> flax flat paths
+# ---------------------------------------------------------------------------
+
+def _flat_permutation(channels: int, side: int) -> np.ndarray:
+    """``perm[f] = t``: torch C-major flat index for each flax H-major one.
+
+    torch flattens the (C, S, S) bottleneck as ``c*S*S + h*S + w``
+    (beta_vae.py:137 ``h.view(B, -1)`` on NCHW); flax flattens (S, S, C) as
+    ``(h*S + w)*C + c``.
+    """
+    h, w, c = np.meshgrid(np.arange(side), np.arange(side),
+                          np.arange(channels), indexing="ij")
+    return (c * side * side + h * side + w).reshape(-1)
+
+
+def _block_params(state: dict, prefix: str, torch_prefix: str,
+                  conv_key: str) -> dict:
+    """Convert one Conv/Deconv block's conv + norm + SE tensors."""
+    out = {}
+    out[f"{prefix}/conv/kernel"] = np.transpose(
+        state[f"{conv_key}.weight"], (2, 3, 1, 0))  # OIHW -> HWIO
+    out[f"{prefix}/conv/bias"] = state[f"{conv_key}.bias"]
+    if f"{torch_prefix}.norm.running_mean" in state:  # BatchNorm
+        out[f"{prefix}/norm/bn/scale"] = state[f"{torch_prefix}.norm.weight"]
+        out[f"{prefix}/norm/bn/bias"] = state[f"{torch_prefix}.norm.bias"]
+        out[f"__stats__/{prefix}/norm/bn/mean"] = \
+            state[f"{torch_prefix}.norm.running_mean"]
+        out[f"__stats__/{prefix}/norm/bn/var"] = \
+            state[f"{torch_prefix}.norm.running_var"]
+    elif f"{torch_prefix}.norm.weight" in state:  # GroupNorm(1, C)
+        out[f"{prefix}/norm/gn/scale"] = state[f"{torch_prefix}.norm.weight"]
+        out[f"{prefix}/norm/gn/bias"] = state[f"{torch_prefix}.norm.bias"]
+
+    se0 = f"{torch_prefix}.se.block.fc.0"
+    if f"{se0}.weight" in state:
+        out[f"{prefix}/se/fc1/kernel"] = state[f"{se0}.weight"].T
+        out[f"{prefix}/se/fc1/bias"] = state[f"{se0}.bias"]
+        se2 = f"{torch_prefix}.se.block.fc.2"
+        out[f"{prefix}/se/fc2/kernel"] = state[f"{se2}.weight"].T
+        out[f"{prefix}/se/fc2/bias"] = state[f"{se2}.bias"]
+    return out
+
+
+def convert_model_state(state: dict) -> dict:
+    """Torch-named flat ``model_state`` → this framework's flax flat paths.
+
+    Geometry (bottleneck channels/side, pooling mode) is derived from the
+    tensors themselves, so no config is needed.  Unknown keys raise, except
+    the deliberately skipped loss-module/BN-counter entries.
+    """
+    state = {k: np.asarray(v) for k, v in state.items()
+             if not (k.startswith(_SKIP_PREFIXES) or
+                     k.endswith(_SKIP_SUFFIXES))}
+
+    enc_ids = sorted({int(k.split(".")[1]) for k in state
+                      if k.startswith("encoder.")})
+    dec_ids = sorted({int(k.split(".")[1]) for k in state
+                      if k.startswith("decoder_blocks.")})
+    if not enc_ids or "fc_mu.weight" not in state:
+        raise ValueError(
+            "torch model_state does not look like a reference BetaVAE "
+            f"(keys: {sorted(state)[:6]}...)")
+
+    out = {}
+    consumed = set()
+
+    def take(block_out: dict, torch_prefix: str):
+        out.update(block_out)
+        consumed.update(k for k in state if k.startswith(torch_prefix))
+
+    for i in enc_ids:
+        take(_block_params(state, f"enc_{i}", f"encoder.{i}",
+                           f"encoder.{i}.conv"),
+             f"encoder.{i}.")
+    for i in dec_ids:
+        conv_key = (f"decoder_blocks.{i}.up.1"
+                    if f"decoder_blocks.{i}.up.1.weight" in state
+                    else f"decoder_blocks.{i}.up")
+        take(_block_params(state, f"dec_{i}", f"decoder_blocks.{i}", conv_key),
+             f"decoder_blocks.{i}.")
+
+    out["final_conv/kernel"] = np.transpose(
+        state["final_conv.weight"], (2, 3, 1, 0))
+    out["final_conv/bias"] = state["final_conv.bias"]
+    consumed.update(("final_conv.weight", "final_conv.bias"))
+
+    # fc heads: transpose, then fix the NCHW-vs-NHWC flatten order
+    bottleneck_c = state[f"encoder.{enc_ids[-1]}.conv.weight"].shape[0]
+    flat_dim = state["fc_mu.weight"].shape[1]
+    if flat_dim == bottleneck_c:
+        perm = np.arange(flat_dim)  # gap pooling: no spatial flatten
+    else:
+        side = int(round((flat_dim // bottleneck_c) ** 0.5))
+        if bottleneck_c * side * side != flat_dim:
+            raise ValueError(
+                f"cannot infer bottleneck geometry: flat={flat_dim}, "
+                f"C={bottleneck_c}")
+        perm = _flat_permutation(bottleneck_c, side)
+
+    for head in ("fc_mu", "fc_logvar"):
+        out[f"{head}/kernel"] = state[f"{head}.weight"].T[perm]
+        out[f"{head}/bias"] = state[f"{head}.bias"]
+        consumed.update((f"{head}.weight", f"{head}.bias"))
+    out["fc_dec/kernel"] = state["fc_dec.weight"].T[:, perm]
+    out["fc_dec/bias"] = state["fc_dec.bias"][perm]
+    consumed.update(("fc_dec.weight", "fc_dec.bias"))
+
+    leftovers = set(state) - consumed
+    if leftovers:
+        raise ValueError(f"unmapped torch parameters: {sorted(leftovers)}")
+
+    # re-home BN running stats under batch_stats/, everything else params/
+    final = {}
+    for k, v in out.items():
+        if k.startswith("__stats__/"):
+            final["batch_stats/" + k[len("__stats__/"):]] = v
+        else:
+            final["params/" + k] = v
+    return final

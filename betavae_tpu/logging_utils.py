@@ -64,10 +64,16 @@ def reset_logger() -> None:
     _logger = None
 
 
-def log_config() -> None:
-    """``CONFIG {json}`` line (reference ``logger.py:34-37``)."""
+def log_config(extras: dict | None = None) -> None:
+    """``CONFIG {json}`` line (reference ``logger.py:34-37``).
+
+    ``extras`` adds run-resolution facts the YAML alone doesn't show (e.g.
+    the LPIPS weight source); additive keys keep parser compatibility.
+    """
     logger = init_logger()
     cfg = get_config().to_dict()
+    if extras:
+        cfg.update(extras)
     logger.info("CONFIG " + json.dumps(cfg))
 
 

@@ -72,8 +72,9 @@ class LPIPSModule(nn.Module):
         fy = net((y - shift) / scale)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
-            a = a / jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True) + 1e-10)
-            b = b / jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True) + 1e-10)
+            # official normalize_tensor: x / (||x||_channels + 1e-10)
+            a = a / (jnp.sqrt(jnp.sum(a**2, axis=-1, keepdims=True)) + 1e-10)
+            b = b / (jnp.sqrt(jnp.sum(b**2, axis=-1, keepdims=True)) + 1e-10)
             d = (a - b) ** 2
             w = self.param(f"lin{i}", nn.initializers.uniform(scale=0.1),
                            (d.shape[-1],))
@@ -86,18 +87,30 @@ class LPIPSModule(nn.Module):
 _warned = False
 
 
+def resolve_weight_source(weights_path: str | None = None) -> str:
+    """Where LPIPS weights will come from for a given config value.
+
+    Returns ``"pretrained:<path>"`` when a converted ``.npz`` exists (via the
+    argument or ``$LPIPS_WEIGHTS``), else ``"random-init"`` — the loud marker
+    the train loop writes into its CONFIG line.
+    """
+    path = weights_path or os.environ.get("LPIPS_WEIGHTS")
+    if path and os.path.exists(path):
+        return f"pretrained:{path}"
+    return "random-init"
+
+
 def _load_or_init_params(weights_path: str | None):
     global _warned
     module = LPIPSModule()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = module.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
-    path = weights_path or os.environ.get("LPIPS_WEIGHTS")
-    if path and os.path.exists(path):
-        from ..io.checkpoint import flatten_pytree, unflatten_like
+    source = resolve_weight_source(weights_path)
+    if source.startswith("pretrained:"):
+        from ..io.checkpoint import unflatten_like
 
-        flat = dict(np.load(path))
+        flat = dict(np.load(source[len("pretrained:"):]))
         params = unflatten_like(params, flat)
-        del flatten_pytree
     elif not _warned:
         warnings.warn(
             "LPIPS pretrained weights not found; using deterministic "

@@ -379,8 +379,23 @@ def train(resume: str = "none", mesh=None):
     """
     cfg = get_config()
     ensure_dirs()
-    init_logger()
-    log_config()
+    logger = init_logger()
+    loss_cfg_early = get(cfg, "loss", None)
+    config_extras = {}
+    if bool(get(loss_cfg_early, "use_lpips", False)):
+        from ..ops.lpips import resolve_weight_source
+
+        lpips_source = resolve_weight_source(
+            get(loss_cfg_early, "lpips_weights_path", None))
+        config_extras["lpips_weights"] = lpips_source
+        if lpips_source == "random-init":
+            logger.warning(
+                "use_lpips is ON but no pretrained weights were found — "
+                "training against deterministic RANDOM frozen features "
+                "(lpips_weights=random-init in the CONFIG line). Set "
+                "loss.lpips_weights_path or $LPIPS_WEIGHTS for the "
+                "reference's pretrained-AlexNet loss.")
+    log_config(config_extras or None)
     seed = int(cfg.data.seed)
     np.random.seed(seed)
     root_key = jax.random.PRNGKey(seed)

@@ -19,9 +19,9 @@ from betavae_tpu.io.artifacts import ensure_dirs, save_image_grid
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Preview first validation batch.")
+        description="Render the first val batch for determinism checks.")
     parser.add_argument("--config", type=str, default=None,
-                        help="Path to YAML config.")
+                        help="YAML config to activate for this run.")
     args = parser.parse_args()
     if args.config:
         os.environ["CONFIG_PATH"] = args.config
@@ -45,8 +45,8 @@ def main():
             f.write(f"{i}: class={test_ds.class_names[i]} "
                     f"path={test_ds.paths[i]}\n")
 
-    print(f"Saved validation preview to {grid_path}")
-    print(f"Saved paths/classes to {meta_path}")
+    print(f"Val-batch grid: {grid_path}")
+    print(f"Val-batch paths/classes: {meta_path}")
 
 
 if __name__ == "__main__":

@@ -1,90 +1,68 @@
-"""Combine existing shards and reshard a checkpoint to a higher shard count.
+"""Rewrite a checkpoint with more shards than it currently has.
 
-Capability parity with reference ``scripts/reshard_checkpoint.py:42-104``:
-``--checkpoint best|latest|<path> --num-shards N --output <base>``; requires
-the new count to strictly exceed the current one.
+Thin CLI over :mod:`betavae_tpu.io.checkpoint`.  Capability parity with
+reference ``scripts/reshard_checkpoint.py:42-104`` (same flags, same
+strictly-increasing shard-count rule); shard discovery and the merge/split
+logic live in the package, not here.
 """
 import argparse
 import os
-from pathlib import Path
 
 import _bootstrap  # noqa: F401
 
 from betavae_tpu.config import get_config
-from betavae_tpu.io.checkpoint import (load_sharded_checkpoint,
+from betavae_tpu.io.artifacts import model_checkpoint_path
+from betavae_tpu.io.checkpoint import (checkpoint_shard_count, discover_shards,
+                                       load_sharded_checkpoint,
+                                       normalize_base_path,
                                        save_sharded_checkpoint)
 
 
-def _resolve_base_path(checkpoint: str, cfg) -> Path:
-    if checkpoint in ("latest", "best"):
-        base = Path(cfg.paths.models_dir) / f"{cfg.paths.run_id}_{checkpoint}.pt"
-    else:
-        base = Path(checkpoint)
-    if base.suffix == "":
-        base = base.with_suffix(".pt")
-    return base
-
-
-def _find_existing_shards(base_path: Path):
-    root = base_path.with_suffix("") if base_path.suffix else base_path
-    suffix = base_path.suffix or ".pt"
-    return sorted(base_path.parent.glob(f"{root.name}_shard*{suffix}"))
-
-
-def _infer_current_shard_count(base_path: Path) -> int:
-    shards = _find_existing_shards(base_path)
-    if shards:
-        return len(shards)
-    if base_path.exists():
-        return 1
-    raise FileNotFoundError(
-        f"No checkpoint shards or file found for base path: {base_path}")
+def parse_args():
+    ap = argparse.ArgumentParser(
+        description="Increase the shard count of a saved checkpoint.")
+    ap.add_argument("--config", default=None,
+                    help="YAML config to activate before resolving run paths.")
+    ap.add_argument("--checkpoint", default="latest",
+                    help="'best', 'latest', or a checkpoint base path.")
+    ap.add_argument("--num-shards", type=int, required=True,
+                    help="Target shard count; must be larger than what exists.")
+    ap.add_argument("--output", default=None,
+                    help="Base path for the resharded files (default: in place).")
+    return ap.parse_args()
 
 
 def main():
-    parser = argparse.ArgumentParser(
-        description="Combine existing shards and reshard a checkpoint to a "
-                    "higher shard count.")
-    parser.add_argument("--config", type=str, default=None,
-                        help="Optional path to YAML config.")
-    parser.add_argument("--checkpoint", type=str, default="latest",
-                        help="Checkpoint tag (best|latest) or explicit base path.")
-    parser.add_argument("--num-shards", type=int, required=True,
-                        help="Desired shard count (must exceed current count).")
-    parser.add_argument("--output", type=str, default=None,
-                        help="Optional output base path for the new shards.")
-    args = parser.parse_args()
-
+    args = parse_args()
     if args.config:
         os.environ["CONFIG_PATH"] = args.config
-    cfg = get_config()
+    get_config()  # fail early on a bad config; model_checkpoint_path uses it
 
-    input_base = _resolve_base_path(args.checkpoint, cfg)
-    output_base = Path(args.output) if args.output else input_base
-    if output_base.suffix == "":
-        output_base = output_base.with_suffix(".pt")
-
-    current_shards = _infer_current_shard_count(input_base)
-    if args.num_shards <= current_shards:
-        raise ValueError(
-            f"Requested shard count ({args.num_shards}) must be greater than "
-            f"existing shard count ({current_shards}).")
-
-    shard_files = _find_existing_shards(input_base)
-    if shard_files:
-        print(f"Found {len(shard_files)} shard(s):")
-        for p in shard_files:
-            print(f"  - {p}")
+    if args.checkpoint in ("best", "latest"):
+        src_base = model_checkpoint_path(tag=args.checkpoint)
     else:
-        print(f"No shards found; using single checkpoint file at {input_base}")
+        src_base = normalize_base_path(args.checkpoint)
+    dst_base = normalize_base_path(args.output) if args.output else src_base
 
-    payload = load_sharded_checkpoint(str(input_base), num_shards=current_shards)
-    new_paths = save_sharded_checkpoint(str(output_base), payload,
-                                        num_shards=args.num_shards)
+    have = checkpoint_shard_count(src_base)
+    if args.num_shards <= have:
+        raise ValueError(
+            f"--num-shards={args.num_shards} would not grow the checkpoint: "
+            f"{have} shard(s) already exist at {src_base}")
 
-    print(f"\nResharded checkpoint saved to {len(new_paths)} shard(s):")
-    for p in new_paths:
-        print(f"  - {p}")
+    existing = discover_shards(src_base)
+    if existing:
+        print(f"Merging {len(existing)} input shard(s):")
+        print("\n".join(f"  - {p}" for p in existing))
+    else:
+        print(f"Input is a single unsharded file: {src_base}")
+
+    payload = load_sharded_checkpoint(src_base, num_shards=have)
+    written = save_sharded_checkpoint(dst_base, payload,
+                                      num_shards=args.num_shards)
+
+    print(f"\nWrote {len(written)} shard(s):")
+    print("\n".join(f"  - {p}" for p in written))
 
 
 if __name__ == "__main__":

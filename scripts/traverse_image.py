@@ -42,19 +42,19 @@ def load_model(checkpoint_tag: str):
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Run latent traversals on a specific image.")
+        description="Latent traversals for one input image.")
     parser.add_argument("--config", type=str, default=None,
-                        help="Path to YAML config.")
+                        help="YAML config to activate for this run.")
     parser.add_argument("--image", type=str, required=True,
-                        help="Path to image file to traverse.")
+                        help="Input image to encode and traverse around.")
     parser.add_argument("--checkpoint", type=str, default="best",
-                        help="Checkpoint tag (best|latest) or explicit path.")
+                        help="'best', 'latest', or a checkpoint base path.")
     parser.add_argument("--indices", type=str, default=None,
-                        help="Comma-separated latent indices to traverse.")
+                        help="Latent dims to sweep, comma-separated.")
     parser.add_argument("--span", type=float, default=None,
-                        help="Traversal span (overrides config).")
+                        help="Sweep half-width; config edit_span if omitted.")
     parser.add_argument("--steps", type=int, default=None,
-                        help="Traversal steps (overrides config).")
+                        help="Sweep sample count; config value if omitted.")
     args = parser.parse_args()
 
     if args.config:
@@ -74,7 +74,8 @@ def main():
             indices = [int(i.strip()) for i in args.indices.split(",")
                        if i.strip() != ""]
         except ValueError:
-            print("Could not parse --indices; ignoring.")
+            print("--indices is not a comma-separated int list; "
+                  "falling back to defaults.")
 
     span = args.span if args.span is not None else float(cfg.inference.edit_span)
     steps = (args.steps if args.steps is not None
@@ -82,7 +83,7 @@ def main():
 
     run_traversals(model, variables, test_ds, indices=indices, steps=steps,
                    span=span, images_override=img.astype(np.float32))
-    print(f"Saved traversals to {cfg.paths.figures_dir}")
+    print(f"Traversal figures written under {cfg.paths.figures_dir}")
 
 
 if __name__ == "__main__":

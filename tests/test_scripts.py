@@ -163,5 +163,5 @@ def test_reshard_cli(demo_config_factory, monkeypatch, tmp_path):
     monkeypatch.setattr(sys, "argv", [
         "reshard_checkpoint.py", "--config", path, "--checkpoint", "latest",
         "--num-shards", "2"])
-    with pytest.raises(ValueError, match="must be greater"):
+    with pytest.raises(ValueError, match="would not grow"):
         mod.main()
