@@ -23,12 +23,86 @@ if _REPO_ROOT not in sys.path:
 BASELINE_IMG_PER_SEC = 61.0
 
 
+def _encode_latency_p50_ms(model, state, image_size: int, reps: int = 30):
+    """Host-observed p50 latency of a batch-1 encode dispatch.
+
+    BASELINE.json's third north-star metric.  Each rep is synced by pulling a
+    scalar through the tunnel (block_until_ready lies on relayed runtimes),
+    so the number includes the relay round-trip — the latency a caller of
+    ``infer/encode.py`` actually experiences per dispatch.
+    """
+    import jax
+    import numpy as np
+
+    x = jax.device_put(np.zeros((1, image_size, image_size, 1), np.float32))
+    variables = state.model_variables()
+    encode = jax.jit(lambda v, x: model.module.apply(
+        v, x, method=model.module.encode))
+    mu, _ = encode(variables, x)
+    float(np.asarray(mu[0, 0]))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        mu, _ = encode(variables, x)
+        float(np.asarray(mu[0, 0]))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def _prng_self_check():
+    """Moments test on the pallas reparam kernel's hardware-PRNG noise.
+
+    Only meaningful on a real TPU backend (the interpreter's PRNG returns
+    zeros).  Returns "ok"/"skipped (cpu)"; raises on drift so regressions
+    surface loudly in the BENCH tail (VERDICT r1 #7).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from betavae_tpu.ops.pallas_elbo import (fused_reparam_kl,
+                                             tpu_backend_available)
+
+    if not tpu_backend_available():
+        return "skipped (cpu)"
+
+    shape = (512, 512)  # 262k draws; mu=0, logvar=0 => z == eps
+    zeros = jnp.zeros(shape, jnp.float32)
+
+    @jax.jit
+    def moments(seed):
+        z, _ = fused_reparam_kl(seed, zeros, zeros)
+        return jnp.stack([
+            jnp.mean(z), jnp.std(z),
+            jnp.mean(z**3),                       # skew proxy (std==1)
+            jnp.mean((jnp.abs(z) > 2.0).astype(jnp.float32)),
+            jnp.mean((jnp.abs(z) > 3.0).astype(jnp.float32)),
+        ])
+
+    vals = np.asarray(moments(jnp.int32(20260816)))
+    mean, std, m3, tail2, tail3 = (float(v) for v in vals)
+    n = shape[0] * shape[1]
+    checks = [
+        ("mean", abs(mean), 6.0 / n**0.5),          # ~6 sigma bounds
+        ("std", abs(std - 1.0), 0.01),
+        ("skew", abs(m3), 0.02),
+        ("P(|z|>2)", abs(tail2 - 0.0455), 0.004),
+        ("P(|z|>3)", abs(tail3 - 0.0027), 0.001),
+    ]
+    for name, err, tol in checks:
+        assert err < tol, (
+            f"hardware PRNG drift: {name} off by {err:.5f} (tol {tol:.5f}); "
+            f"raw moments mean={mean:.5f} std={std:.5f} m3={m3:.5f} "
+            f"tail2={tail2:.5f} tail3={tail3:.5f}")
+    return "ok"
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--image-size", type=int, default=128)
-    parser.add_argument("--steps", type=int, default=96)
-    parser.add_argument("--warmup", type=int, default=16)
+    parser.add_argument("--steps", type=int, default=192)
+    parser.add_argument("--warmup", type=int, default=48)
     parser.add_argument("--verbose", action="store_true",
                         help="print a FLOP/roofline breakdown to stderr")
     args = parser.parse_args()
@@ -59,8 +133,9 @@ def main():
         rng.integers(0, 255, (n, args.image_size, args.image_size, 1),
                      np.uint8))
     # K steps per dispatch via lax.scan — the same multi-step program the
-    # training loop uses; amortizes host dispatch overhead
-    K = 16
+    # training loop uses (training.scan_chunk_steps default); amortizes host
+    # dispatch overhead through the relay
+    K = 48
     step = make_train_multi_step(
         model, tx, spec,
         aug_kwargs={"use_flip": True, "degrees": 10.0, "brightness": 0.1},
@@ -108,11 +183,16 @@ def main():
         print(json.dumps({"step_ms": round(dt / (K * n_chunks) * 1e3, 3),
                           **{k: v for k, v in fl.items() if k != "layers"},
                           **util}), file=sys.stderr)
+    encode_p50 = _encode_latency_p50_ms(model, state, args.image_size)
+    prng_status = _prng_self_check()
+
     print(json.dumps({
         "metric": "train_images_per_sec_per_chip_128px_bs32",
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "encode_p50_ms_bs1": round(encode_p50, 2),
+        "prng_check": prng_status,
     }))
 
 

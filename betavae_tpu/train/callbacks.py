@@ -73,6 +73,25 @@ class CheckpointManager:
             num_shards=self.num_shards,
         )
 
+    def restore_best_history(self) -> None:
+        """Re-arm ``save_best`` with the historical best after a resume.
+
+        The reference forgets its best-so-far across resume and overwrites
+        ``_best`` with the first post-resume epoch even if worse
+        (``callbacks.py:53-89``); we re-read ``val_total`` from the existing
+        best checkpoint instead (documented deviation, DESIGN.md §4 #12).
+        """
+        from ..io.checkpoint import load_sharded_checkpoint
+
+        path = os.path.join(self.dir, f"{self.run_id}_best.pt")
+        try:
+            payload = load_sharded_checkpoint(path)
+        except FileNotFoundError:
+            return
+        monitor = payload.get("val_total")
+        if monitor is not None:
+            self.best_value = float(monitor)
+
     def save_best(self, state, epoch: int, total_steps: int, extra: dict,
                   monitor_value: float):
         if self.best_value is None or monitor_value < self.best_value:

@@ -495,6 +495,7 @@ def train(resume: str = "none", mesh=None):
                                batch_stats=variables.get("batch_stats"))
             start_epoch = int(payload.get("epoch", 0)) + 1
             total_steps = int(payload.get("total_steps", 0))
+            ckpt.restore_best_history()
             print(f"[RESUME] Loaded checkpoint '{resume}' from {path}, "
                   f"restarting at epoch {start_epoch}")
 
@@ -603,7 +604,9 @@ def train(resume: str = "none", mesh=None):
         # latency; the per-step logging protocol is reconstructed from the
         # stacked per-step metrics.  Remainder steps use the single-step
         # program (padding scan steps would corrupt optimizer moments).
-        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 16)),
+        # Default 48 measured ~0.45 ms/step faster than 16 through the
+        # relayed runtime (dispatch RTT amortization).
+        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 48)),
                        n_steps))
         i = 0
         lr_now = lr

@@ -60,7 +60,10 @@ def test_scan_chunk_equals_sequential_steps():
     la = jax.tree_util.tree_leaves(state_a.params)
     lb = jax.tree_util.tree_leaves(state_b.params)
     for a, b in zip(la, lb):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+        # scanned and sequential programs fuse differently (e.g. the
+        # depthwise-transposed-conv upsample reassociates); semantic
+        # equivalence, not bitwise, is the contract
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
                                    atol=1e-7)
 
 

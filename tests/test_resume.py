@@ -10,6 +10,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 import yaml
 
 from betavae_tpu.config import get_config, reset_config_cache
@@ -54,3 +55,38 @@ def test_resume_is_exact_continuation(demo_env, tmp_path):
 
     for a, b in zip(full_leaves, res_leaves):
         np.testing.assert_array_equal(a, b)
+
+
+def test_save_best_history_survives_resume(demo_env, tmp_path):
+    """The historical best must not be overwritten by a worse post-resume
+    epoch (deviation #12; the reference forgets best-so-far on resume)."""
+    from betavae_tpu.io.checkpoint import load_sharded_checkpoint
+    from betavae_tpu.train.callbacks import CheckpointManager
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_env
+    _set_epochs(cfg_path, 2)
+    train()
+    cfg = get_config()
+    best_base = os.path.join(cfg.paths.models_dir, "testrun_best.pt")
+    historical = load_sharded_checkpoint(best_base)["val_total"]
+
+    # a fresh manager (what a resumed train() builds) must re-arm from disk
+    mgr = CheckpointManager(num_shards=2)
+    assert mgr.best_value is None
+    mgr.restore_best_history()
+    assert mgr.best_value == pytest.approx(historical)
+
+    # a worse monitor value must NOT overwrite the best checkpoint
+    class _FakeState:
+        def model_variables(self):
+            return {"params": {"w": np.zeros(1, np.float32)}}
+
+        opt_state = {"m": np.zeros(1, np.float32)}
+
+    out = mgr.save_best(_FakeState(), epoch=99, total_steps=999,
+                        extra={"val_total": historical + 100.0},
+                        monitor_value=historical + 100.0)
+    assert out is None
+    assert load_sharded_checkpoint(best_base)["val_total"] == pytest.approx(
+        historical)
