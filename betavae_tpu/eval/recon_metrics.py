@@ -57,15 +57,21 @@ def gather_reconstruction_metrics(model, variables, test_ds: ArrayDataset,
     if key is None:
         key = jax.random.PRNGKey(int(cfg.data.seed))
     bs = int(cfg.training.batch_size)
-    all_m, all_p, all_s = [], [], []
-    per_class: dict = {}
-    for bi, (x, labels, names, _, count) in enumerate(_batches(test_ds, bs)):
+    # Dispatch ALL batches first, materialize after: converting per batch
+    # would sync each dispatch through the relay (~30 ms RTT each); deferred
+    # device->host pulls let the forward passes pipeline back-to-back.
+    pending = []
+    for x, labels, names, _, count in _batches(test_ds, bs):
         key, sub = jax.random.split(key)
         # deterministic=None → model's own deterministic_overfit flag decides,
         # like the reference's bare model.forward(x) (recon_metrics.py:71)
         recon, mu, logvar, z = model.forward(variables, x, key=sub,
                                              deterministic=None)
-        m = batched_image_metrics(recon, x)
+        pending.append((batched_image_metrics(recon, x), labels, names, count))
+
+    all_m, all_p, all_s = [], [], []
+    per_class: dict = {}
+    for m, labels, names, count in pending:
         mses = np.asarray(m["mse"])[:count]
         psnrs = np.asarray(m["psnr"])[:count]
         ssims = np.asarray(m["ssim"])[:count]
@@ -96,15 +102,16 @@ def gather_reconstruction_metrics(model, variables, test_ds: ArrayDataset,
 def extract_latents(model, variables, ds: ArrayDataset, limit=None):
     cfg = get_config()
     bs = int(cfg.training.batch_size)
-    latents, labels, paths = [], [], []
+    pending, labels, paths = [], [], []
     for x, lab, _, pth, count in _batches(ds, bs):
         mu, logvar = model.encode(variables, x)
-        latents.append(np.asarray(mu)[:count])
+        pending.append((mu, count))   # materialize after the dispatch loop
         labels.extend(lab.tolist())
         paths.extend(pth)
         if limit and len(labels) >= limit:
             break
-    L = np.concatenate(latents, axis=0)
+    L = np.concatenate([np.asarray(mu)[:count] for mu, count in pending],
+                       axis=0)
     if limit:
         L = L[:limit]
         labels = labels[:limit]

@@ -22,7 +22,9 @@ from ..eval.run_evaluation import load_model
 def encode_dataset(model, variables, ds: ArrayDataset):
     cfg = get_config()
     bs = int(cfg.training.batch_size)
-    mus, lvs = [], []
+    # dispatch all batches, pull to host after — lets encodes pipeline
+    # instead of paying the relay round-trip per batch
+    pending = []
     for s in range(0, len(ds), bs):
         e = min(s + bs, len(ds))
         x = ds.images[s:e].astype(np.float32) / 255.0
@@ -30,10 +32,13 @@ def encode_dataset(model, variables, ds: ArrayDataset):
             x = np.concatenate(
                 [x, np.repeat(x[-1:], bs - (e - s), axis=0)], axis=0)
         mu, logvar = model.encode(variables, x)
-        mus.append(np.asarray(mu)[: e - s])
-        lvs.append(np.asarray(logvar)[: e - s])
-    Z = np.concatenate(mus, axis=0) if mus else np.zeros((0, model.latent_dim))
-    LV = np.concatenate(lvs, axis=0) if lvs else np.zeros_like(Z)
+        pending.append((mu, logvar, e - s))
+    if pending:
+        Z = np.concatenate([np.asarray(mu)[:n] for mu, _, n in pending])
+        LV = np.concatenate([np.asarray(lv)[:n] for _, lv, n in pending])
+    else:
+        Z = np.zeros((0, model.latent_dim))
+        LV = np.zeros_like(Z)
     return Z, LV, list(ds.labels), list(ds.paths)
 
 

@@ -30,16 +30,19 @@ from ..io.artifacts import save_json, save_table
 def extract_latents_with_kl(model, variables, ds: ArrayDataset):
     cfg = get_config()
     bs = int(cfg.training.batch_size)
-    lat, kls = [], []
+    # dispatch all encodes first, materialize after (relay RTT per sync)
+    pending = []
     for s in range(0, len(ds), bs):
         e = min(s + bs, len(ds))
         x = ds.images[s:e].astype(np.float32) / 255.0
         if e - s < bs:  # pad the ragged tail: one compile per program
             x = np.concatenate(
                 [x, np.repeat(x[-1:], bs - (e - s), axis=0)], axis=0)
-        mu, logvar = model.encode(variables, x)
-        mu = np.asarray(mu)[: e - s]
-        logvar = np.asarray(logvar)[: e - s]
+        pending.append((*model.encode(variables, x), e - s))
+    lat, kls = [], []
+    for mu, logvar, n in pending:
+        mu = np.asarray(mu)[:n]
+        logvar = np.asarray(logvar)[:n]
         lat.append(mu)
         kls.append(0.5 * (mu**2 + np.exp(logvar) - logvar - 1.0))
     L = np.concatenate(lat, axis=0)

@@ -191,3 +191,62 @@ def test_converted_forward_matches_torch(tmp_path, tiny_cfg):
 def test_unmapped_keys_raise():
     with pytest.raises(ValueError, match="does not look like"):
         convert_model_state({"totally.unknown.weight": np.zeros(3)})
+
+
+def test_gap_pooling_roundtrip(tmp_path, demo_config_factory):
+    """GAP-pooled models have flat_dim == C: no flatten permutation.
+
+    Builds a torch state with fc heads sized (LATENT, C) and asserts forward
+    parity of the mu head through the converted weights.
+    """
+    import jax.numpy as jnp
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.models.beta_vae import model_from_config
+
+    c_last = CHS[-1]
+    rng = np.random.default_rng(3)
+    sd = _build_torch_state(rng)
+    for head, (o, i) in {"fc_mu": (LATENT, c_last),
+                         "fc_logvar": (LATENT, c_last),
+                         "fc_dec": (c_last, LATENT)}.items():
+        sd[f"{head}.weight"] = _rng_tensor(rng, o, i)
+        sd[f"{head}.bias"] = _rng_tensor(rng, o)
+    base = str(tmp_path / "gap_best.pt")
+    _save_reference_style(base, sd, num_shards=2)
+
+    path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10],
+           "model.encoder_pooling": "gap"})
+    cfg = get_config(path)
+    model = model_from_config(cfg)
+    variables = unflatten_like(model.variables_template(),
+                               load_sharded_checkpoint(base)["model_state"])
+
+    x = rng.uniform(size=(2, IMG, IMG, 1)).astype(np.float32)
+    _, mu, _, _ = model.forward(variables, jnp.asarray(x), deterministic=True)
+
+    # torch-side: encoder trunk -> GAP -> fc_mu
+    import torch as _torch
+
+    h = _torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+    import torch.nn.functional as _F
+    for i in range(BLOCKS):
+        p = f"encoder.{i}"
+        h = _F.conv2d(h, sd[f"{p}.conv.weight"], sd[f"{p}.conv.bias"],
+                      stride=2, padding=1)
+        h = _F.group_norm(h, 1, sd[f"{p}.norm.weight"], sd[f"{p}.norm.bias"])
+        h = _F.relu(h)
+        b, c = h.shape[:2]
+        y = h.mean(dim=(2, 3))
+        y = _F.relu(_F.linear(y, sd[f"{p}.se.block.fc.0.weight"],
+                              sd[f"{p}.se.block.fc.0.bias"]))
+        y = _torch.sigmoid(_F.linear(y, sd[f"{p}.se.block.fc.2.weight"],
+                                     sd[f"{p}.se.block.fc.2.bias"]))
+        h = h * y.view(b, c, 1, 1)
+    pooled = h.mean(dim=(2, 3))
+    want_mu = _F.linear(pooled, sd["fc_mu.weight"], sd["fc_mu.bias"])
+    np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(),
+                               rtol=1e-4, atol=1e-5)
