@@ -25,9 +25,16 @@ normalization math run in fp32 inside the kernel.  Whole-sample blocks:
 the largest production block (128·128·64 bf16 = 2 MB/sample) fits VMEM;
 callers fall back to the unfused oracle above ~8 MB/sample (``fits_vmem``).
 
-Validated against :func:`reference_groupnorm_relu` (the exact flax
-GroupNorm fast-variance semantics) in the TPU interpreter on CPU and on
-real v5e hardware (tests/test_pallas_gn.py).
+STATUS — tested building block, deliberately NOT wired into the model.
+Math/VJP validated against :func:`reference_groupnorm_relu` in the TPU
+interpreter (CPU CI) and compiled+parity-checked on real v5e hardware, BUT
+the end-to-end measurement went the other way: XLA's GroupNorm is already
+at the HBM roofline (fwd 0.235 ms vs 0.23 ms ideal at 128²·64·bs32) while
+this kernel's per-sample sequential grid with whole-(B,C) accumulator
+outputs defeats Mosaic's pipelining — 2.10 ms vs 0.66 ms for the
+GN+ReLU+SE block fwd+bwd.  Full numbers: docs/DESIGN.md §3.0.1.  Kept as a
+correct, tested reference for a future tiled-grid attempt; the model uses
+flax GroupNorm.
 """
 
 from __future__ import annotations

@@ -1,0 +1,40 @@
+"""bench.py helper functions on the CPU backend."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_prng_self_check_skips_on_cpu():
+    from bench import _prng_self_check
+
+    assert _prng_self_check() == "skipped (cpu)"
+
+
+def test_encode_latency_helper_runs():
+    import jax
+
+    from __graft_entry__ import _flagship_model
+    from bench import _encode_latency_p50_ms
+    from betavae_tpu.train.loop import init_state
+    from betavae_tpu.train.optim import build_optimizer
+    from betavae_tpu.config import get_config, reset_config_cache
+
+    reset_config_cache()
+    cfg = get_config(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "beta_vae_se.yaml"))
+    model = _flagship_model(image_size=32, mixed_precision=False)
+    # tiny stand-in module for speed
+    from betavae_tpu.models.beta_vae import BetaVAE, BetaVAEModule
+
+    model = BetaVAE(module=BetaVAEModule(
+        image_size=32, in_channels=1, latent_dim=8, base_channels=8,
+        num_blocks=2, norm_type="layer", se_reduction=8,
+        use_decoder_se=True, encoder_pooling="flatten"))
+    tx = build_optimizer(cfg)
+    state = init_state(model, tx, jax.random.PRNGKey(0))
+    p50 = _encode_latency_p50_ms(model, state, 32, reps=3)
+    assert np.isfinite(p50) and p50 > 0

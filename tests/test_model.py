@@ -115,3 +115,36 @@ def test_sample_prior_shape():
     v = model.init_variables(jax.random.PRNGKey(0))
     imgs = model.sample_prior(v, 4, jax.random.PRNGKey(5))
     assert imgs.shape == (4, 32, 32, 1)
+
+
+def test_remat_scopes_equivalent():
+    """remat false / "decoder" / true produce identical outputs and grads
+    (remat only changes the recompute schedule, never the math)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from betavae_tpu.models.beta_vae import BetaVAE, BetaVAEModule
+
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(size=(2, 16, 16, 1)).astype(np.float32))
+    outs, grads = [], []
+    for mode in (False, "decoder", True):
+        module = BetaVAEModule(image_size=16, in_channels=1, latent_dim=4,
+                               base_channels=4, num_blocks=2,
+                               norm_type="layer", se_reduction=2,
+                               use_decoder_se=True, encoder_pooling="flatten",
+                               remat=mode)
+        model = BetaVAE(module=module)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+
+        def loss(v):
+            recon, *_ = module.apply(v, x, deterministic=True)
+            return jnp.sum((recon - x) ** 2)
+
+        outs.append(float(loss(variables)))
+        g = jax.grad(loss)(variables)
+        grads.append(float(sum(jnp.sum(jnp.abs(l))
+                               for l in jax.tree_util.tree_leaves(g))))
+    assert outs[0] == outs[1] == outs[2]
+    np.testing.assert_allclose(grads, grads[0], rtol=1e-6)

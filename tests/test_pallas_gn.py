@@ -1,7 +1,9 @@
 """Fused GroupNorm+ReLU(+SE pool) pallas kernel vs the unfused oracle.
 
-Runs through the TPU interpreter on CPU CI; the same checks pass on real
-v5e hardware (exercised by the wired model path and bench runs).
+Runs through the TPU interpreter on CPU CI; the same parity checks were run
+once on real v5e hardware.  NOTE: the kernel is a tested building block but
+is NOT wired into the model — measured slower than XLA's roofline GroupNorm
+(see the module STATUS note and docs/DESIGN.md §3.0.1).
 """
 
 import jax
