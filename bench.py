@@ -90,10 +90,12 @@ def _prng_self_check():
         ("P(|z|>3)", abs(tail3 - 0.0027), 0.001),
     ]
     for name, err, tol in checks:
-        assert err < tol, (
-            f"hardware PRNG drift: {name} off by {err:.5f} (tol {tol:.5f}); "
-            f"raw moments mean={mean:.5f} std={std:.5f} m3={m3:.5f} "
-            f"tail2={tail2:.5f} tail3={tail3:.5f}")
+        if err >= tol:  # not assert: must survive python -O
+            raise ValueError(
+                f"hardware PRNG drift: {name} off by {err:.5f} "
+                f"(tol {tol:.5f}); raw moments mean={mean:.5f} "
+                f"std={std:.5f} m3={m3:.5f} tail2={tail2:.5f} "
+                f"tail3={tail3:.5f}")
     return "ok"
 
 

@@ -143,11 +143,27 @@ def logistic_probe(latents, labels, train_fraction=0.3, seed=42, binary=True,
     from sklearn.metrics import confusion_matrix, f1_score, roc_auc_score
 
     fit_idx, held_idx = _held_out_split(latents.shape[0], train_fraction, seed)
-    clf = LogisticRegression(max_iter=2000)
-    clf.fit(latents[fit_idx], labels[fit_idx])
-    probs = clf.predict_proba(latents[held_idx])
     y_held = labels[held_idx]
     classes = np.unique(labels)
+    clf = LogisticRegression(max_iter=2000)
+    try:
+        clf.fit(latents[fit_idx], labels[fit_idx])
+    except ValueError:
+        # degenerate seeded split: the probe's train set holds one class
+        # (or is empty) — report NaN metrics rather than crash (the
+        # reference propagates sklearn's ValueError here)
+        nan = float("nan")
+        res = ({"probe_auc": nan, "probe_f1": nan} if binary else
+               {"probe_macro_f1": nan, "probe_macro_auc": nan})
+        only = int(labels[fit_idx][0]) if len(fit_idx) else int(classes[0])
+        hard = np.full(len(y_held), only, dtype=labels.dtype)
+        res["confusion_matrix"] = confusion_matrix(
+            y_held, hard, labels=classes).tolist()
+        res["classes"] = classes.tolist()
+        if not binary:
+            res["per_class_f1"] = [nan] * len(classes)
+        return (res, None, classes) if return_model else res
+    probs = clf.predict_proba(latents[held_idx])
 
     res = {}
     if binary:
@@ -174,16 +190,23 @@ def logistic_probe(latents, labels, train_fraction=0.3, seed=42, binary=True,
 
 def compute_probe_directions(probe_model, classes, class_map=None) -> dict:
     """Unit-norm logreg coefficient rows keyed by class name
-    (ref ``recon_metrics.py:172-185``); zero rows are dropped."""
+    (ref ``recon_metrics.py:172-185``); zero rows are dropped.
+
+    Rows align with ``probe_model.classes_`` (the classes present in the
+    probe's train split), not ``np.unique(all labels)`` — the reference zips
+    against the latter and silently misassigns directions whenever a class is
+    missing from the split (deviation, DESIGN.md §4 #17).
+    """
     coef = getattr(probe_model, "coef_", None)
     if coef is None:
         return {}
     coef = np.atleast_2d(coef)
+    fitted = getattr(probe_model, "classes_", classes)
     names = _idx_to_name(class_map)
     norms = np.linalg.norm(coef, axis=1)
     return {
         names.get(cls, str(cls)): (row / n).astype(np.float32)
-        for cls, row, n in zip(classes, coef, norms) if n > 0
+        for cls, row, n in zip(fitted, coef, norms) if n > 0
     }
 
 
@@ -204,8 +227,12 @@ def traversal_probe_validation(probe_model, classes, latents, labels,
     grand_mean = latents.mean(axis=0)
 
     # Assemble (class, anchor, direction) work items, then batch the sweep.
+    # Iterate probe_model.classes_ so `pos` indexes the right predict_proba
+    # column even when a class is absent from the probe's train split
+    # (deviation #17 — the reference indexes np.unique(labels) positions).
+    fitted = getattr(probe_model, "classes_", classes)
     work = []
-    for pos, cls_id in enumerate(classes):
+    for pos, cls_id in enumerate(fitted):
         cname = names.get(cls_id, str(cls_id))
         direction = class_dirs.get(cname)
         if direction is None:
@@ -262,12 +289,13 @@ def save_logreg_weight_heatmap(probe_model, classes, class_map=None,
     tick_every = max(1, int(np.ceil(n_dim / 32)))
     ax.set_xticks(np.arange(0, n_dim, tick_every) + 0.5,
                   labels=np.arange(0, n_dim, tick_every))
-    # classes[:n_cls]: coef_ may have fewer rows than unique labels when a
-    # class is absent from the probe's train split (ref mislabels silently
-    # there, recon_metrics.py:243-253; we truncate instead of crashing)
+    # row labels from probe_model.classes_ — coef_ rows follow the classes
+    # the probe actually saw, which can be fewer than np.unique(labels)
+    # (the reference mislabels rows there, recon_metrics.py:243-253)
+    fitted = getattr(probe_model, "classes_", classes)
     ax.set_yticks(np.arange(n_cls) + 0.5,
                   labels=[names.get(int(c), str(int(c)))
-                          for c in classes[:n_cls]])
+                          for c in list(fitted)[:n_cls]])
     ax.invert_yaxis()
     ax.set(xlabel="latent dimension", ylabel="class",
            title="Latent-probe weights per class")

@@ -144,7 +144,11 @@ def _write_shard(path: str, arrays: dict, meta: dict) -> None:
 
 
 def _read_shard(path: str):
-    """Read one shard: our npz-zip format, else a reference torch pickle."""
+    """Read one shard: our npz-zip format, else a reference torch pickle.
+
+    A file that is neither (e.g. a truncated write) raises a clear
+    corruption error instead of being handed to torch's unpickler.
+    """
     try:
         with zipfile.ZipFile(path, "r") as zf:
             names = zf.namelist()
@@ -159,13 +163,45 @@ def _read_shard(path: str):
                         arrays[name[: -len(".npy")]] = np.load(
                             buf, allow_pickle=False)
                 return arrays, meta
+            is_zip = True
     except zipfile.BadZipFile:
-        pass
-    # torch checkpoints are zips too (new serializer) or raw pickles (legacy),
-    # but never contain our __meta__.json member
+        is_zip = False
+
+    # torch checkpoints are zips too (new serializer, no __meta__.json
+    # member) or raw pickles (legacy, protocol-2 magic); anything else is
+    # a corrupt file, not a format to fall through on
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    if not (is_zip or magic[:1] == b"\x80"):
+        raise ValueError(
+            f"checkpoint shard {path} is neither this framework's zip "
+            "format nor a torch pickle — file is corrupt or truncated")
     from .torch_compat import read_torch_shard
 
     return read_torch_shard(path)
+
+
+def read_checkpoint_meta(base_path: str) -> dict:
+    """Metadata scalars (epoch, val_total, …) without loading any arrays.
+
+    Reads one shard's ``__meta__.json`` member for native checkpoints; torch
+    pickles have no cheap side-channel and fall back to a full shard read.
+    """
+    shards = discover_shards(base_path)
+    target = shards[0] if shards else base_path
+    if not os.path.exists(target):
+        raise FileNotFoundError(f"No checkpoint found at {base_path}")
+    try:
+        with zipfile.ZipFile(target, "r") as zf:
+            if _META_KEY + ".json" in zf.namelist():
+                meta = json.loads(zf.read(_META_KEY + ".json").decode("utf-8"))
+                return {k: v for k, v in meta.items()
+                        if k not in ("shard_id", "num_shards")}
+    except zipfile.BadZipFile:
+        pass
+    _, meta = _read_shard(target)
+    return {k: v for k, v in meta.items()
+            if k not in ("shard_id", "num_shards")}
 
 
 def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):

@@ -89,7 +89,27 @@ def _flat_permutation(channels: int, side: int) -> np.ndarray:
     return (c * side * side + h * side + w).reshape(-1)
 
 
-def _block_params(state: dict, prefix: str, torch_prefix: str,
+class _TrackedState:
+    """Dict view that records every key actually read — the converter's
+    unmapped-parameter guard compares reads against the full key set, so a
+    tensor the mapping doesn't know can never be dropped silently."""
+
+    def __init__(self, state: dict):
+        self._state = state
+        self.used: set = set()
+
+    def __getitem__(self, key):
+        self.used.add(key)
+        return self._state[key]
+
+    def __contains__(self, key):
+        return key in self._state
+
+    def keys(self):
+        return self._state.keys()
+
+
+def _block_params(state, prefix: str, torch_prefix: str,
                   conv_key: str) -> dict:
     """Convert one Conv/Deconv block's conv + norm + SE tensors."""
     out = {}
@@ -124,45 +144,38 @@ def convert_model_state(state: dict) -> dict:
     tensors themselves, so no config is needed.  Unknown keys raise, except
     the deliberately skipped loss-module/BN-counter entries.
     """
-    state = {k: np.asarray(v) for k, v in state.items()
-             if not (k.startswith(_SKIP_PREFIXES) or
-                     k.endswith(_SKIP_SUFFIXES))}
+    raw = {k: np.asarray(v) for k, v in state.items()
+           if not (k.startswith(_SKIP_PREFIXES) or
+                   k.endswith(_SKIP_SUFFIXES))}
+    state = _TrackedState(raw)
 
-    enc_ids = sorted({int(k.split(".")[1]) for k in state
+    enc_ids = sorted({int(k.split(".")[1]) for k in raw
                       if k.startswith("encoder.")})
-    dec_ids = sorted({int(k.split(".")[1]) for k in state
+    dec_ids = sorted({int(k.split(".")[1]) for k in raw
                       if k.startswith("decoder_blocks.")})
-    if not enc_ids or "fc_mu.weight" not in state:
+    if not enc_ids or "fc_mu.weight" not in raw:
         raise ValueError(
             "torch model_state does not look like a reference BetaVAE "
-            f"(keys: {sorted(state)[:6]}...)")
+            f"(keys: {sorted(raw)[:6]}...)")
 
     out = {}
-    consumed = set()
-
-    def take(block_out: dict, torch_prefix: str):
-        out.update(block_out)
-        consumed.update(k for k in state if k.startswith(torch_prefix))
-
     for i in enc_ids:
-        take(_block_params(state, f"enc_{i}", f"encoder.{i}",
-                           f"encoder.{i}.conv"),
-             f"encoder.{i}.")
+        out.update(_block_params(state, f"enc_{i}", f"encoder.{i}",
+                                 f"encoder.{i}.conv"))
     for i in dec_ids:
         conv_key = (f"decoder_blocks.{i}.up.1"
-                    if f"decoder_blocks.{i}.up.1.weight" in state
+                    if f"decoder_blocks.{i}.up.1.weight" in raw
                     else f"decoder_blocks.{i}.up")
-        take(_block_params(state, f"dec_{i}", f"decoder_blocks.{i}", conv_key),
-             f"decoder_blocks.{i}.")
+        out.update(_block_params(state, f"dec_{i}", f"decoder_blocks.{i}",
+                                 conv_key))
 
     out["final_conv/kernel"] = np.transpose(
         state["final_conv.weight"], (2, 3, 1, 0))
     out["final_conv/bias"] = state["final_conv.bias"]
-    consumed.update(("final_conv.weight", "final_conv.bias"))
 
     # fc heads: transpose, then fix the NCHW-vs-NHWC flatten order
-    bottleneck_c = state[f"encoder.{enc_ids[-1]}.conv.weight"].shape[0]
-    flat_dim = state["fc_mu.weight"].shape[1]
+    bottleneck_c = raw[f"encoder.{enc_ids[-1]}.conv.weight"].shape[0]
+    flat_dim = raw["fc_mu.weight"].shape[1]
     if flat_dim == bottleneck_c:
         perm = np.arange(flat_dim)  # gap pooling: no spatial flatten
     else:
@@ -176,12 +189,10 @@ def convert_model_state(state: dict) -> dict:
     for head in ("fc_mu", "fc_logvar"):
         out[f"{head}/kernel"] = state[f"{head}.weight"].T[perm]
         out[f"{head}/bias"] = state[f"{head}.bias"]
-        consumed.update((f"{head}.weight", f"{head}.bias"))
     out["fc_dec/kernel"] = state["fc_dec.weight"].T[:, perm]
     out["fc_dec/bias"] = state["fc_dec.bias"][perm]
-    consumed.update(("fc_dec.weight", "fc_dec.bias"))
 
-    leftovers = set(state) - consumed
+    leftovers = set(raw) - state.used
     if leftovers:
         raise ValueError(f"unmapped torch parameters: {sorted(leftovers)}")
 

@@ -164,8 +164,16 @@ class BetaVAEModule(nn.Module):
 
     def setup(self):
         chs = self.channel_widths
-        mode = ("all" if self.remat is True
-                else (self.remat if isinstance(self.remat, str) else "none"))
+        if self.remat in (True, "all", "true"):
+            mode = "all"
+        elif self.remat == "decoder":
+            mode = "decoder"
+        elif self.remat in (False, None, "none", "false"):
+            mode = "none"
+        else:
+            raise ValueError(
+                f"training.remat must be true/false/'decoder', got "
+                f"{self.remat!r}")
         Enc = (nn.remat(ConvBlock, static_argnums=(1,))
                if mode == "all" else ConvBlock)
         Dec = (nn.remat(DeconvBlock, static_argnums=(1,))

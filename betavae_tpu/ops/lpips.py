@@ -87,17 +87,18 @@ class LPIPSModule(nn.Module):
 _warned = False
 
 
-def resolve_weight_source(weights_path: str | None = None) -> str:
-    """Where LPIPS weights will come from for a given config value.
-
-    Returns ``"pretrained:<path>"`` when a converted ``.npz`` exists (via the
-    argument or ``$LPIPS_WEIGHTS``), else ``"random-init"`` — the loud marker
-    the train loop writes into its CONFIG line.
-    """
+def resolve_weights_path(weights_path: str | None = None) -> str | None:
+    """The usable converted-``.npz`` path (argument or ``$LPIPS_WEIGHTS``),
+    or ``None`` when none exists."""
     path = weights_path or os.environ.get("LPIPS_WEIGHTS")
-    if path and os.path.exists(path):
-        return f"pretrained:{path}"
-    return "random-init"
+    return path if path and os.path.exists(path) else None
+
+
+def resolve_weight_source(weights_path: str | None = None) -> str:
+    """Display form for the CONFIG line: ``"pretrained:<path>"`` or the loud
+    ``"random-init"`` marker."""
+    path = resolve_weights_path(weights_path)
+    return f"pretrained:{path}" if path else "random-init"
 
 
 def _load_or_init_params(weights_path: str | None):
@@ -105,11 +106,11 @@ def _load_or_init_params(weights_path: str | None):
     module = LPIPSModule()
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = module.init(jax.random.PRNGKey(0), dummy, dummy)["params"]
-    source = resolve_weight_source(weights_path)
-    if source.startswith("pretrained:"):
+    path = resolve_weights_path(weights_path)
+    if path:
         from ..io.checkpoint import unflatten_like
 
-        flat = dict(np.load(source[len("pretrained:"):]))
+        flat = dict(np.load(path))
         params = unflatten_like(params, flat)
     elif not _warned:
         warnings.warn(

@@ -80,12 +80,13 @@ class CheckpointManager:
         ``_best`` with the first post-resume epoch even if worse
         (``callbacks.py:53-89``); we re-read ``val_total`` from the existing
         best checkpoint instead (documented deviation, DESIGN.md §4 #12).
+        Metadata-only read — no arrays are deserialized.
         """
-        from ..io.checkpoint import load_sharded_checkpoint
+        from ..io.checkpoint import read_checkpoint_meta
 
         path = os.path.join(self.dir, f"{self.run_id}_best.pt")
         try:
-            payload = load_sharded_checkpoint(path)
+            payload = read_checkpoint_meta(path)
         except FileNotFoundError:
             return
         monitor = payload.get("val_total")

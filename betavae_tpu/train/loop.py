@@ -382,7 +382,10 @@ def train(resume: str = "none", mesh=None):
     logger = init_logger()
     loss_cfg_early = get(cfg, "loss", None)
     config_extras = {}
-    if bool(get(loss_cfg_early, "use_lpips", False)):
+    # same gate as the loss builder below: LPIPS only participates when
+    # enabled AND weighted, so only then is the weight source worth shouting
+    if (bool(get(loss_cfg_early, "use_lpips", False))
+            and float(get(loss_cfg_early, "lpips_weight", 0.0) or 0.0) > 0):
         from ..ops.lpips import resolve_weight_source
 
         lpips_source = resolve_weight_source(

@@ -1,0 +1,67 @@
+"""Probe column/row alignment when a class is missing from the train split
+(deviation #17) and degenerate-split robustness."""
+
+import numpy as np
+import pytest
+
+
+def _fit_probe_missing_class():
+    """LogisticRegression fit on classes {0,1,2} while labels contain 3."""
+    from sklearn.linear_model import LogisticRegression
+
+    rng = np.random.default_rng(0)
+    lat = np.concatenate([rng.normal(3 * c, 0.3, (20, 6)) for c in range(4)])
+    labels = np.repeat(np.arange(4), 20)
+    mask = labels != 3
+    clf = LogisticRegression(max_iter=500).fit(lat[mask], labels[mask])
+    return clf, lat, labels
+
+
+def test_directions_keyed_by_fitted_classes():
+    from betavae_tpu.eval.recon_metrics import compute_probe_directions
+
+    clf, _, labels = _fit_probe_missing_class()
+    class_map = {f"c{i}": i for i in range(4)}
+    dirs = compute_probe_directions(clf, np.unique(labels), class_map)
+    assert set(dirs) == {"c0", "c1", "c2"}          # no phantom "c3"
+    # each named direction is the matching coef row, not a shifted one
+    for pos, cls in enumerate(clf.classes_):
+        want = clf.coef_[pos] / np.linalg.norm(clf.coef_[pos])
+        np.testing.assert_allclose(dirs[f"c{cls}"], want, rtol=1e-6)
+
+
+def test_traversal_sweep_uses_matching_proba_column():
+    from betavae_tpu.eval.recon_metrics import (compute_probe_directions,
+                                                traversal_probe_validation)
+
+    clf, lat, labels = _fit_probe_missing_class()
+    class_map = {f"c{i}": i for i in range(4)}
+    dirs = compute_probe_directions(clf, np.unique(labels), class_map)
+    metrics, df = traversal_probe_validation(
+        clf, np.unique(labels), lat, labels, dirs, steps=5, span=2.0,
+        class_map=class_map)
+    assert set(df["class"]) == {"c0", "c1", "c2"}
+    # walking along a class's own direction from its mean must RAISE that
+    # class's probability — only true if the proba column indexing is right
+    for _, row in df.iterrows():
+        assert row["delta"] > 0, row["class"]
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_one_class_fit_split_reports_nan(binary):
+    """sklearn refuses to fit a single-class split; we report NaN metrics
+    instead of propagating its ValueError (deviation #17)."""
+    from betavae_tpu.eval.recon_metrics import logistic_probe
+
+    rng = np.random.default_rng(1)
+    lat = rng.normal(size=(12, 4))
+    labels = np.zeros(12, dtype=int)
+    order = np.random.RandomState(42).permutation(12)
+    labels[order[int(0.3 * 12):]] = 1   # class 1 exists only in held-out
+    res, model, classes = logistic_probe(lat, labels, train_fraction=0.3,
+                                         binary=binary, return_model=True)
+    key = "probe_auc" if binary else "probe_macro_auc"
+    assert np.isnan(res[key])
+    assert model is None
+    assert res["classes"] == [0, 1]
+    assert len(res["confusion_matrix"]) == 2
