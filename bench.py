@@ -189,7 +189,8 @@ def main():
     prng_status = _prng_self_check()
 
     print(json.dumps({
-        "metric": "train_images_per_sec_per_chip_128px_bs32",
+        "metric": (f"train_images_per_sec_per_chip_{args.image_size}px_"
+                   f"bs{args.batch_size}"),
         "value": round(img_per_sec, 2),
         "unit": "images/sec",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),

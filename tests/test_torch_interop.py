@@ -250,3 +250,34 @@ def test_gap_pooling_roundtrip(tmp_path, demo_config_factory):
     want_mu = _F.linear(pooled, sd["fc_mu.weight"], sd["fc_mu.bias"])
     np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_eval_driver_loads_torch_checkpoint(tmp_path, demo_config_factory):
+    """run_evaluation.load_model on reference-style torch shards end-to-end
+    (VERDICT r1 #4's done-criterion, through the actual driver entry)."""
+    import jax.numpy as jnp
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.eval.run_evaluation import load_model
+
+    path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10]})
+    cfg = get_config(path)
+    os.makedirs(cfg.paths.models_dir, exist_ok=True)
+
+    rng = np.random.default_rng(4)
+    sd = _build_torch_state(rng)
+    base = os.path.join(cfg.paths.models_dir, f"{cfg.paths.run_id}_best.pt")
+    _save_reference_style(base, sd, num_shards=2)
+
+    model, variables = load_model("best")
+    x = rng.uniform(size=(1, IMG, IMG, 1)).astype(np.float32)
+    recon, mu, logvar, _ = model.forward(variables, jnp.asarray(x),
+                                         deterministic=True)
+    want_mu, want_recon = _torch_forward_mu_recon(
+        sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    # float reassociation between jax and torch conv stacks: ~1e-4 relative
+    np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(),
+                               rtol=1e-3, atol=5e-5)
