@@ -177,14 +177,25 @@ def main():
 
     img_per_sec = args.batch_size * K * n_chunks / dt
     if args.verbose:
-        from betavae_tpu.utils.flops import train_step_flops, utilization
+        from betavae_tpu.utils.flops import (speed_of_light_ms,
+                                             train_step_flops, utilization)
 
         fl = train_step_flops(args.image_size, 1, 64, 64, 4,
                               batch_size=args.batch_size)
-        util = utilization(dt / (K * n_chunks), fl["train_flops_per_step"])
-        print(json.dumps({"step_ms": round(dt / (K * n_chunks) * 1e3, 3),
+        step_s = dt / (K * n_chunks)
+        util = utilization(step_s, fl["train_flops_per_step"])
+        n_params = sum(int(np.prod(p.shape)) for p in
+                       jax.tree_util.tree_leaves(state.params))
+        sol = speed_of_light_ms(args.image_size, 1, 64, 64, 4,
+                                batch_size=args.batch_size,
+                                param_count=n_params)
+        print(json.dumps({"step_ms": round(step_s * 1e3, 3),
                           **{k: v for k, v in fl.items() if k != "layers"},
-                          **util}), file=sys.stderr)
+                          **util,
+                          "sol_step_ms": sol["sol_step_ms"],
+                          "sol_fraction": round(
+                              sol["sol_step_ms"] / (step_s * 1e3), 4)}),
+              file=sys.stderr)
     try:
         encode_p50 = round(
             _encode_latency_p50_ms(model, state, args.image_size), 2)

@@ -28,6 +28,7 @@ mu/logvar heads (KL and sampling stay fp32).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import Any, Optional, Sequence
@@ -37,6 +38,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import get, get_config
+from ..ops.pallas_elbo import tpu_backend_available
+from ..ops.pallas_head import fused_se_conv_head, supports_shape
 from ..ops.reparam import reparameterize_and_kl
 from ..ops.upsample import bilinear_upsample_x2
 from .se import SEBlock
@@ -104,7 +107,7 @@ class DeconvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, return_gate: bool = False):
         if self.up:
             # bilinear ×2 with torch Upsample(align_corners=False) semantics;
             # lowered as separable depthwise transposed convs — measurably
@@ -116,9 +119,53 @@ class DeconvBlock(nn.Module):
         x = _Norm(self.norm_type, dtype=self.dtype, name="norm")(x, train)
         x = _activation(self.activation)(x)
         if self.use_se:
-            x = SEBlock(self.out_ch, self.se_reduction, dtype=self.dtype,
-                        name="se")(x)
+            se = SEBlock(self.out_ch, self.se_reduction, dtype=self.dtype,
+                         name="se")
+            if return_gate:
+                return se(x, return_gate=True)       # (ungated, gates)
+            return se(x)
+        if return_gate:
+            return x, None
         return x
+
+
+class FinalConvHead(nn.Module):
+    """Final 3×3 conv (ref ``beta_vae.py:127``), optionally fused with the
+    preceding SE gate via the Pallas head kernel (``ops/pallas_head.py``).
+
+    Parameter names/shapes/init match ``nn.Conv(name="final_conv")`` exactly
+    (same RNG fold path), so checkpoints and the torch converter are
+    unaffected.  The fallback path reproduces ``nn.Conv``'s compute (cast to
+    ``dtype``, conv, bias in ``dtype``); the Pallas path accumulates fp32
+    (deviation table §4 #15 covers the bf16-rounding-level difference).
+    """
+
+    out_ch: int
+    dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, h, gate=None):
+        c = h.shape[-1]
+        kernel = self.param("kernel", _kaiming, (3, 3, c, self.out_ch),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.out_ch,),
+                          jnp.float32)
+        interpret = os.environ.get("BETAVAE_HEAD_INTERPRET") == "1"
+        if (self.use_pallas and self.out_ch == 1
+                and supports_shape(h.shape[1], h.shape[2], c, h.dtype)
+                and (interpret or tpu_backend_available())):
+            s = gate if gate is not None else jnp.ones((h.shape[0], c),
+                                                       h.dtype)
+            logits = fused_se_conv_head(h, s, kernel[..., 0], interpret)
+            return logits[..., None] + bias
+        if gate is not None:
+            h = h * gate[:, None, None, :]
+        x = h.astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(self.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
 
 
 class BetaVAEModule(nn.Module):
@@ -144,6 +191,11 @@ class BetaVAEModule(nn.Module):
     # the decoder holds the biggest activations, so rematting just it keeps
     # most of the memory win at a fraction of the recompute)
     remat: Any = False
+    # fuse the last decoder SE gate into the final conv via the Pallas head
+    # kernel (ops/pallas_head.py).  Opt-in (training.fused_head: true): the
+    # kernel is correct but measured slower than XLA end-to-end on current
+    # hardware — see _resolve_fused_head and docs/DESIGN.md §3.0.2
+    fused_head: bool = False
 
     @property
     def channel_widths(self):
@@ -176,7 +228,10 @@ class BetaVAEModule(nn.Module):
                 f"{self.remat!r}")
         Enc = (nn.remat(ConvBlock, static_argnums=(1,))
                if mode == "all" else ConvBlock)
-        Dec = (nn.remat(DeconvBlock, static_argnums=(1,))
+        # static_argnums under flax remat: positional args count from the
+        # module itself, so (train, return_gate) passed positionally are
+        # args[2] and args[3] (keyword `train=` in the encoder stays (1,))
+        Dec = (nn.remat(DeconvBlock, static_argnums=(2, 3))
                if mode in ("all", "decoder") else DeconvBlock)
         self.encoder = [
             Enc(chs[i], self.norm_type, self.activation, True,
@@ -202,9 +257,11 @@ class BetaVAEModule(nn.Module):
             )
             for i in range(self.num_blocks)
         ]
-        self.final_conv = nn.Conv(self.in_channels, (3, 3), padding=1,
-                                  dtype=self.dtype, kernel_init=_kaiming,
-                                  name="final_conv")
+        # same param tree as nn.Conv(name="final_conv"); optionally fused
+        # with the last decoder SE gate (see FinalConvHead)
+        self.final_conv = FinalConvHead(self.in_channels, dtype=self.dtype,
+                                        use_pallas=self.fused_head,
+                                        name="final_conv")
 
     def encode(self, x, train: bool = False):
         h = x.astype(self.dtype)
@@ -233,9 +290,15 @@ class BetaVAEModule(nn.Module):
             h = jnp.broadcast_to(h[:, None, None, :], (h.shape[0], s, s, c))
         else:
             h = h.reshape(h.shape[0], s, s, c)
-        for blk in self.decoder:
-            h = blk(h, train=train)
-        x = self.final_conv(h)
+        *body, last = self.decoder
+        for blk in body:
+            h = blk(h, train, False)
+        # when the fused head is active, take the last block's SE gates
+        # un-applied and fold them into the final conv (ops/pallas_head.py)
+        want_gate = self.fused_head and self.use_decoder_se
+        out = last(h, train, want_gate)
+        h, gate = out if want_gate else (out, None)
+        x = self.final_conv(h, gate)
         return nn.sigmoid(x.astype(jnp.float32))
 
     def __call__(self, x, z_rng=None, deterministic: bool = False,
@@ -337,6 +400,25 @@ class BetaVAE:
         return jnp.stack(outs, axis=1), vals
 
 
+def _resolve_fused_head(value) -> bool:
+    """``training.fused_head``: auto (default) resolves to OFF.
+
+    The fused SE-gate∘conv head kernel is correct and hardware-validated but
+    measured 2293 img/s vs 4172 img/s end-to-end at the flagship shape — the
+    per-sample-grid Pallas pattern loses to XLA's fusions on this chip (same
+    verdict as ``ops/pallas_gn.py``; numbers in docs/DESIGN.md §3.0.2).
+    Kept as an explicit opt-in for future Mosaic versions.
+    """
+    if value in (True, "true"):
+        return True
+    if value in (False, "false", None, "none"):
+        return False
+    if value == "auto":
+        return os.environ.get("BETAVAE_HEAD_INTERPRET") == "1"
+    raise ValueError(f"training.fused_head must be auto/true/false, "
+                     f"got {value!r}")
+
+
 def model_from_config(cfg=None, mixed_precision: bool | None = None) -> BetaVAE:
     """Build the flagship model from the active config (ref ``beta_vae.py:69-129``)."""
     cfg = cfg or get_config()
@@ -359,6 +441,8 @@ def model_from_config(cfg=None, mixed_precision: bool | None = None) -> BetaVAE:
         latent_clamp=get(mcfg, "latent_clamp", None),
         dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
         remat=get(cfg.training, "remat", False),
+        fused_head=_resolve_fused_head(get(cfg.training, "fused_head",
+                                           "auto")),
     )
     return BetaVAE(
         module=module,

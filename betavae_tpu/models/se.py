@@ -20,7 +20,7 @@ class SEBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, return_gate: bool = False):
         r = max(1, self.channels // self.reduction)
         y = jnp.mean(x, axis=(1, 2))                       # (B, C) squeeze
         y = nn.Dense(r, dtype=self.dtype, kernel_init=_kaiming, name="fc1")(y)
@@ -28,4 +28,8 @@ class SEBlock(nn.Module):
         y = nn.Dense(self.channels, dtype=self.dtype, kernel_init=_kaiming,
                      name="fc2")(y)
         y = nn.sigmoid(y)
+        if return_gate:
+            # ungated activations + gates, for callers that fold the gate
+            # into a following op (ops/pallas_head.py)
+            return x, y
         return x * y[:, None, None, :]

@@ -88,3 +88,82 @@ def utilization(step_seconds: float, flops_per_step: int,
     return {"achieved_tflops": round(achieved, 2),
             "peak_tflops": peak_tflops,
             "mxu_utilization": round(achieved / peak_tflops, 4)}
+
+
+def speed_of_light_ms(image_size: int, in_channels: int, latent_dim: int,
+                      base_channels: int, num_blocks: int, batch_size: int,
+                      use_decoder_se: bool = True, dtype_bytes: int = 2,
+                      param_count: int | None = None,
+                      peak_tflops: float = 197.0,
+                      hbm_gbps: float = 819.0) -> dict:
+    """Per-op lower bound on step time: max(FLOP time, HBM time) summed.
+
+    Models the fwd+bwd pass layer by layer — convs (fwd + dX + dW each
+    max(compute, read-in + write-out)), GroupNorm (3 passes fwd / 4 bwd),
+    SE gating (2/3 passes), bilinear upsample, the dense heads, the adam
+    update (7 fp32 passes over params) — at the chip's peak MXU rate and
+    HBM bandwidth.  This is unreachable in practice (no fusion is perfect,
+    layouts pad), but quantifies how much of the measured step is intrinsic:
+    the flagship 128px/bs32 step floors at ≈4.7 ms vs 7.6 ms measured (62%
+    of speed of light); see docs/DESIGN.md §3.0.3.
+    """
+    peak = peak_tflops * 1e12
+    bw = hbm_gbps * 1e9
+    B = batch_size
+    rows = []
+
+    def conv(name, h_out, w_out, cin, cout, hw_in, k=3):
+        fl = 2 * h_out * w_out * cout * k * k * cin * B
+        bin_ = hw_in * hw_in * cin * dtype_bytes * B
+        bout = h_out * w_out * cout * dtype_bytes * B
+        wb = k * k * cin * cout * dtype_bytes
+        fwd = max(fl / peak, (bin_ + bout + wb) / bw)
+        bwd = 2 * max(fl / peak, (bin_ + bout + wb) / bw)   # dX + dW
+        rows.append((name, fwd, bwd))
+
+    def passes(name, numel, fwd_passes, bwd_passes):
+        t = numel * dtype_bytes * B / bw
+        rows.append((name, fwd_passes * t, bwd_passes * t))
+
+    chs = [base_channels * (2**i) for i in range(num_blocks)]
+    s = image_size
+    cin = in_channels
+    for i, c in enumerate(chs):
+        so = (s + 1) // 2
+        conv(f"enc{i}.conv", so, so, cin, c, s)
+        passes(f"enc{i}.gn+relu", so * so * c, 3, 4)
+        passes(f"enc{i}.se", so * so * c, 2, 3)
+        s, cin = so, c
+
+    flat = chs[-1] * s * s
+    for nm, di, do in (("fc_mu", flat, latent_dim),
+                       ("fc_logvar", flat, latent_dim),
+                       ("fc_dec", latent_dim, flat)):
+        fl = 2 * di * do * B
+        byts = di * do * dtype_bytes + (di + do) * dtype_bytes * B
+        t = max(fl / peak, byts / bw)
+        rows.append((nm, t, 2 * t))
+
+    dec = list(reversed(chs))
+    for i in range(num_blocks):
+        cin = dec[i]
+        cout = dec[i + 1] if i + 1 < num_blocks else dec[-1]
+        so = s * 2
+        passes(f"dec{i}.up", s * s * cin + so * so * cin, 1, 1)
+        conv(f"dec{i}.conv", so, so, cin, cout, so)
+        passes(f"dec{i}.gn+relu", so * so * cout, 3, 4)
+        if use_decoder_se:
+            passes(f"dec{i}.se", so * so * cout, 2, 3)
+        s = so
+
+    conv("final_conv", s, s, chs[0], in_channels, s)
+    passes("recon_tail", s * s * in_channels * 2, 6, 6)  # fp32 sigmoid/loss
+    if param_count:
+        rows.append(("adam", 0.0, 7 * param_count * 4 / bw))
+
+    fwd_ms = sum(r[1] for r in rows) * 1e3
+    bwd_ms = sum(r[2] for r in rows) * 1e3
+    return {"sol_fwd_ms": round(fwd_ms, 3), "sol_bwd_ms": round(bwd_ms, 3),
+            "sol_step_ms": round(fwd_ms + bwd_ms, 3),
+            "layers": [(n, round(f * 1e3, 4), round(b * 1e3, 4))
+                       for n, f, b in rows]}

@@ -38,3 +38,24 @@ def test_encode_latency_helper_runs():
     state = init_state(model, tx, jax.random.PRNGKey(0))
     p50 = _encode_latency_p50_ms(model, state, 32, reps=3)
     assert np.isfinite(p50) and p50 > 0
+
+
+def test_speed_of_light_floor_sane():
+    """The analytic floor is positive, below any plausible measured step,
+    and scales with batch and resolution."""
+    from betavae_tpu.utils.flops import speed_of_light_ms
+
+    sol = speed_of_light_ms(128, 1, 64, 64, 4, batch_size=32,
+                            param_count=7_000_000)
+    assert 1.0 < sol["sol_step_ms"] < 8.0          # flagship ≈5 ms
+    assert sol["sol_step_ms"] == round(
+        sol["sol_fwd_ms"] + sol["sol_bwd_ms"], 3)
+    assert len(sol["layers"]) > 20
+
+    sol2 = speed_of_light_ms(128, 1, 64, 64, 4, batch_size=64,
+                             param_count=7_000_000)
+    assert sol2["sol_step_ms"] > 1.5 * sol["sol_step_ms"]
+
+    sol3 = speed_of_light_ms(256, 1, 128, 64, 5, batch_size=256,
+                             param_count=30_000_000)
+    assert sol3["sol_step_ms"] > 10 * sol["sol_step_ms"]
