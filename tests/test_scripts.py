@@ -165,3 +165,68 @@ def test_reshard_cli(demo_config_factory, monkeypatch, tmp_path):
         "--num-shards", "2"])
     with pytest.raises(ValueError, match="would not grow"):
         mod.main()
+
+
+def _save_init_checkpoint(cfg, tag="best"):
+    """Write a fresh-init model checkpoint in the CLI shard layout."""
+    import jax
+
+    from betavae_tpu.io.checkpoint import (flatten_pytree,
+                                           save_sharded_checkpoint)
+    from betavae_tpu.models.beta_vae import model_from_config
+
+    model = model_from_config(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    os.makedirs(cfg.paths.models_dir, exist_ok=True)
+    base = os.path.join(cfg.paths.models_dir,
+                        f"{cfg.paths.run_id}_{tag}.pt")
+    save_sharded_checkpoint(base, {"epoch": 1, "total_steps": 1,
+                                   "model_state": flatten_pytree(variables),
+                                   "val_total": 1.0}, num_shards=2)
+    return base
+
+
+def test_traverse_image_cli(demo_env, monkeypatch):
+    """scripts/traverse_image.py end-to-end on CPU: checkpoint load, single
+    image encode, per-dim sweeps written (ref scripts/traverse_image.py:42-87)."""
+    import glob
+
+    from betavae_tpu.config import get_config
+
+    cfg = get_config()
+    _save_init_checkpoint(cfg)
+    img = sorted(glob.glob(os.path.join(
+        cfg.paths.processed_dir, "test", "*", "*.png")))[0]
+    mod = importlib.import_module("traverse_image")
+    monkeypatch.setattr(sys, "argv", [
+        "traverse_image.py", "--config", demo_env, "--image", img,
+        "--indices", "0,1", "--steps", "3"])
+    mod.main()
+    outs = glob.glob(os.path.join(cfg.paths.figures_dir, "traversal_dim*.png"))
+    assert {os.path.basename(p) for p in outs} >= {
+        "traversal_dim0.png", "traversal_dim1.png"}
+
+
+def test_generate_umap_and_grid_cli(demo_env, monkeypatch):
+    """scripts/generate_umap_and_grid.py: rotating 3-D GIF (PCA fallback
+    reducer) + 7-col grid from saved traversal PNGs (ref :53-138)."""
+    from PIL import Image
+
+    from betavae_tpu.config import get_config
+
+    cfg = get_config()
+    _save_init_checkpoint(cfg)
+    os.makedirs(cfg.paths.figures_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for d in (0, 1):
+        arr = rng.integers(0, 255, (32, 32 * 7), np.uint8)
+        Image.fromarray(arr, "L").save(
+            os.path.join(cfg.paths.figures_dir, f"traversal_dim{d}.png"))
+    mod = importlib.import_module("generate_umap_and_grid")
+    monkeypatch.setattr(sys, "argv", [
+        "generate_umap_and_grid.py", "--config", demo_env, "--frames", "3"])
+    mod.main()
+    gif = os.path.join(cfg.paths.figures_dir, "umap3d.gif")
+    grid = os.path.join(cfg.paths.figures_dir, "traversal_grid.png")
+    assert os.path.exists(gif) and os.path.exists(grid)
+    assert Image.open(gif).n_frames == 3
