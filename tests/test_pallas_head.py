@@ -128,3 +128,15 @@ def test_no_decoder_se_falls_back_cleanly():
         np.testing.assert_allclose(np.asarray(r0), np.asarray(r1), atol=1e-5)
     finally:
         del os.environ["BETAVAE_HEAD_INTERPRET"]
+
+
+def test_resolve_fused_head_values():
+    from betavae_tpu.models.beta_vae import _resolve_fused_head
+
+    assert _resolve_fused_head(True) is True
+    assert _resolve_fused_head("true") is True
+    assert _resolve_fused_head(False) is False
+    assert _resolve_fused_head(None) is False
+    assert _resolve_fused_head("auto") in (True, False)  # env-dependent
+    with pytest.raises(ValueError):
+        _resolve_fused_head("sometimes")
