@@ -137,7 +137,7 @@ def main():
     # K steps per dispatch via lax.scan — the same multi-step program the
     # training loop uses (training.scan_chunk_steps default); amortizes host
     # dispatch overhead through the relay
-    K = 48
+    K = 96
     step = make_train_multi_step(
         model, tx, spec,
         aug_kwargs={"use_flip": True, "degrees": 10.0, "brightness": 0.1},
