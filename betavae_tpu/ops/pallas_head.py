@@ -222,14 +222,17 @@ def head_conv_reference(y, s, k):
 
 
 def supports_shape(h: int, w: int, c: int, dtype) -> bool:
-    """VMEM feasibility gate for the per-sample whole-block design.
+    """Feasibility gate for the per-sample whole-block design.
 
     Budget: double-buffered input block (lane dim padded to 128) + fp32
-    accumulator scratch, with headroom under the 100 MB ``vmem_limit_bytes``
-    (v5e VMEM is 128 MB; same limit as ``pallas_gn.py``).
+    accumulator scratch, capped at the envelope actually validated on
+    hardware (128px-class blocks, bf16 and fp32).  256px-class blocks
+    (~17 MB per input buffer) hit multi-minute Mosaic/compile-service
+    stalls on this toolchain and are excluded — callers fall back to the
+    XLA head.
     """
     itemsize = jnp.dtype(dtype).itemsize
     c_padded = max(c, 128) if c % 128 else c
     in_bytes = h * w * c_padded * itemsize
     acc_bytes = h * w * 4
-    return 2 * in_bytes + acc_bytes < 64 * 1024 * 1024
+    return 2 * in_bytes + acc_bytes < 20 * 1024 * 1024

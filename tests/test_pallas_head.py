@@ -56,9 +56,10 @@ def test_custom_vjp_matches_oracle_grads():
 
 
 def test_supports_shape_gate():
-    assert supports_shape(128, 128, 64, jnp.bfloat16)       # flagship
-    assert supports_shape(256, 256, 64, jnp.bfloat16)       # scaled variant
-    assert not supports_shape(1024, 1024, 64, jnp.float32)  # over budget
+    assert supports_shape(128, 128, 64, jnp.bfloat16)        # flagship bf16
+    assert supports_shape(128, 128, 64, jnp.float32)         # flagship fp32
+    assert not supports_shape(256, 256, 64, jnp.bfloat16)    # 256px excluded
+    assert not supports_shape(1024, 1024, 64, jnp.float32)
 
 
 def test_model_wiring_parity():
