@@ -103,8 +103,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--image-size", type=int, default=128)
-    parser.add_argument("--steps", type=int, default=192)
-    parser.add_argument("--warmup", type=int, default=48)
+    parser.add_argument("--steps", type=int, default=384)
+    parser.add_argument("--warmup", type=int, default=192)
     parser.add_argument("--verbose", action="store_true",
                         help="print a FLOP/roofline breakdown to stderr")
     args = parser.parse_args()
@@ -137,7 +137,7 @@ def main():
     # K steps per dispatch via lax.scan — the same multi-step program the
     # training loop uses (training.scan_chunk_steps default); amortizes host
     # dispatch overhead through the relay
-    K = 96
+    K = 192
     step = make_train_multi_step(
         model, tx, spec,
         aug_kwargs={"use_flip": True, "degrees": 10.0, "brightness": 0.1},

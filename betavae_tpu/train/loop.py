@@ -607,10 +607,11 @@ def train(resume: str = "none", mesh=None):
         # latency; the per-step logging protocol is reconstructed from the
         # stacked per-step metrics.  Remainder steps use the single-step
         # program (padding scan steps would corrupt optimizer moments).
-        # Default 96: measured 7.49 vs 7.75 ms/step against 48 (and ~0.45
-        # ms/step better than 16) through the relayed runtime — dispatch RTT
-        # amortization keeps paying up to ~1 s dispatches.
-        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 96)),
+        # Default 192: dispatch-RTT amortization through the relayed runtime
+        # keeps paying up to ~1.4 s dispatches — measured 7.75 / 7.49 / 7.40
+        # / 7.38 ms/step at K = 48 / 96 / 144 / 192 (flagship shape), flat
+        # beyond that.
+        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 192)),
                        n_steps))
         i = 0
         lr_now = lr
