@@ -75,3 +75,49 @@ def test_mesh_with_remat_and_host_feed(demo_env):
     state = train(mesh=data_parallel_mesh(8))
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_resume_on_mesh_matches_single_device_resume(demo_config_factory,
+                                                     tmp_path):
+    """A data-parallel run can be resumed on the mesh, and the continuation
+    matches a single-device resume from the same checkpoint (the host-loaded
+    state is placed correctly by jit under the mesh)."""
+    import shutil
+
+    import yaml
+
+    from betavae_tpu.config import get_config, reset_config_cache
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.logging_utils import reset_logger
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_config_factory(batch_size=8)
+    raw = yaml.safe_load(open(cfg_path))
+    raw["debug"]["epochs"] = 2
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    cfg = get_config(cfg_path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=6,
+                       test_per_class=3, size=cfg.data.image_size)
+
+    train(mesh=data_parallel_mesh(8))
+    snap = str(tmp_path / "ckpt_snap")
+    shutil.copytree(cfg.paths.models_dir, snap)
+
+    raw["debug"]["epochs"] = 4
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+
+    reset_config_cache(); get_config(cfg_path); reset_logger()
+    s_mesh = train(resume="latest", mesh=data_parallel_mesh(8))
+
+    shutil.rmtree(cfg.paths.models_dir)
+    shutil.copytree(snap, cfg.paths.models_dir)
+    reset_config_cache(); get_config(cfg_path); reset_logger()
+    s_single = train(resume="latest")
+
+    import jax
+
+    a = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_mesh.params)]
+    b = [np.asarray(x) for x in jax.tree_util.tree_leaves(s_single.params)]
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(x, y, atol=2e-4)
