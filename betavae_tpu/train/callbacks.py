@@ -46,15 +46,28 @@ class EarlyStopping:
 
 
 class CheckpointManager:
-    """Saves jitted-state snapshots with reference-compatible naming."""
+    """Saves jitted-state snapshots with reference-compatible naming.
 
-    def __init__(self, num_shards: int = 2):
+    ``async_io=True`` overlaps the device→host transfer and file write with
+    training (orbax-style): the state is snapshotted on device with
+    ``jnp.copy`` (fresh buffers, so the training loop's donated buffers are
+    never touched by the writer), and a single background thread pulls and
+    writes it.  Saves are strictly ordered — each save drains the previous
+    one — and :meth:`drain` must run before reading the files or exiting
+    (``train()`` drains at loop exit).  Off by default; the artifacts are
+    byte-identical either way (tested).
+    """
+
+    def __init__(self, num_shards: int = 2, async_io: bool = False):
         cfg = get_config()
         self.dir = cfg.paths.models_dir
         os.makedirs(self.dir, exist_ok=True)
         self.run_id = cfg.paths.run_id
         self.num_shards = num_shards
         self.best_value = None
+        self.async_io = async_io
+        self._pending = None
+        self._pending_error = None
 
     def _payload(self, state, epoch: int, total_steps: int, extra: dict) -> dict:
         return {
@@ -66,12 +79,50 @@ class CheckpointManager:
                for k, v in extra.items()},
         }
 
+    def drain(self) -> None:
+        """Block until any in-flight async save has finished; re-raise its
+        error if it failed."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._pending_error is not None:
+            err, self._pending_error = self._pending_error, None
+            raise err
+
+    def _save(self, path: str, payload: dict):
+        if not self.async_io:
+            return save_sharded_checkpoint(path, payload,
+                                           num_shards=self.num_shards)
+        import threading
+
+        import jax
+        import jax.numpy as jnp
+
+        self.drain()
+        # device-side copy: fresh buffers the background pull can read while
+        # the training loop donates/overwrites the live state buffers
+        for sec in ("model_state", "optim_state"):
+            payload[sec] = {k: (jnp.copy(v) if isinstance(v, jax.Array)
+                                else v)
+                            for k, v in payload[sec].items()}
+
+        def work():
+            try:
+                save_sharded_checkpoint(path, payload,
+                                        num_shards=self.num_shards)
+            except Exception as e:  # surfaced on the next drain()
+                self._pending_error = e
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="betavae-ckpt-writer")
+        t.start()
+        self._pending = t
+        return path
+
     def save_latest(self, state, epoch: int, total_steps: int, extra: dict):
         path = os.path.join(self.dir, f"{self.run_id}_latest.pt")
-        return save_sharded_checkpoint(
-            path, self._payload(state, epoch, total_steps, extra),
-            num_shards=self.num_shards,
-        )
+        return self._save(path, self._payload(state, epoch, total_steps,
+                                              extra))
 
     def restore_best_history(self) -> None:
         """Re-arm ``save_best`` with the historical best after a resume.
@@ -98,8 +149,6 @@ class CheckpointManager:
         if self.best_value is None or monitor_value < self.best_value:
             self.best_value = monitor_value
             path = os.path.join(self.dir, f"{self.run_id}_best.pt")
-            return save_sharded_checkpoint(
-                path, self._payload(state, epoch, total_steps, extra),
-                num_shards=self.num_shards,
-            )
+            return self._save(path, self._payload(state, epoch, total_steps,
+                                                  extra))
         return None

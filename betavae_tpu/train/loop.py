@@ -472,7 +472,11 @@ def train(resume: str = "none", mesh=None):
         patience=int(get(cfg.training, "early_stopping_patience", 20)),
         min_delta=0.0, mode="min",
     )
-    ckpt = CheckpointManager(num_shards=2)
+    # async_checkpoint overlaps the checkpoint's device→host pull + file
+    # write with training (CheckpointManager docstring); artifacts identical
+    ckpt = CheckpointManager(
+        num_shards=2,
+        async_io=bool(get(cfg.training, "async_checkpoint", False)))
 
     base_lr = float(cfg.optimization.lr)
     lr_scheduler = str(cfg.optimization.scheduler)
@@ -780,4 +784,7 @@ def train(resume: str = "none", mesh=None):
         if early.should_stop:
             break
 
+    # an in-flight async checkpoint write must land before callers (eval
+    # driver, resume) read the files
+    ckpt.drain()
     return state
