@@ -97,3 +97,32 @@ def test_train_with_async_checkpoint(demo_config_factory):
     for a, b in zip(jax.tree_util.tree_leaves(loaded["params"]),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_under_mesh(demo_config_factory):
+    """The scaled config enables mesh + async together; the drained latest
+    checkpoint must hold the sharded run's final params exactly."""
+    import jax
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.io.checkpoint import (load_sharded_checkpoint,
+                                           unflatten_like)
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_config_factory(
+        batch_size=8, **{"training.async_checkpoint": True})
+    raw = yaml.safe_load(open(cfg_path))
+    raw["debug"]["epochs"] = 2
+    yaml.safe_dump(raw, open(cfg_path, "w"))
+    cfg = get_config(cfg_path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=6,
+                       test_per_class=3, size=cfg.data.image_size)
+    state = train(mesh=data_parallel_mesh(8))
+    payload = load_sharded_checkpoint(
+        os.path.join(cfg.paths.models_dir, "testrun_latest.pt"))
+    loaded = unflatten_like(state.model_variables(), payload["model_state"])
+    for a, b in zip(jax.tree_util.tree_leaves(loaded["params"]),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
