@@ -60,6 +60,21 @@ class DeviceData:
         return self.images[idx]
 
 
+def host_feed_chunk_limit(batch_size: int, image_shape,
+                          budget_mb: float) -> int:
+    """Largest scan-chunk ``K`` whose host-feed payload fits one dispatch.
+
+    In host-feed mode each multi-step dispatch ships a ``(K, B, H, W, C)``
+    uint8 stack host→device; unclamped (K=192, bs32, 128 px) that is ~100 MB
+    per dispatch — minutes through a ~30 MB/s tunneled runtime.  The train
+    loop clamps K to this limit (``training.host_feed_chunk_mb``, default
+    8 MB ≈ 16 steps at flagship shape) so streaming mode stays responsive;
+    results are bit-identical since K only sets the scan chunking.
+    """
+    bytes_per_step = int(batch_size) * int(np.prod(image_shape))
+    return max(1, int(budget_mb * 1024 * 1024) // max(1, bytes_per_step))
+
+
 def gather_batch(images: jax.Array, idx: jax.Array) -> jax.Array:
     """Device gather + uint8→float [0,1] conversion (ToTensor semantics)."""
     x = jnp.take(images, idx, axis=0)

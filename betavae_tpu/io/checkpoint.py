@@ -59,11 +59,16 @@ def _format_path(path) -> str:
     return "/".join(parts)
 
 
-def flatten_pytree(tree) -> dict:
-    """Flatten an arbitrary pytree of arrays into ``{"a/b/0": ndarray}``."""
+def flatten_pytree(tree, to_host: bool = True) -> dict:
+    """Flatten an arbitrary pytree of arrays into ``{"a/b/0": ndarray}``.
+
+    ``to_host=False`` keeps ``jax.Array`` leaves on device (no transfer);
+    used by the async checkpoint writer, which snapshots on device and
+    performs the device→host pull in its background thread.
+    """
     flat = {}
     for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
-        flat[_format_path(path)] = np.asarray(leaf)
+        flat[_format_path(path)] = np.asarray(leaf) if to_host else leaf
     return flat
 
 

@@ -28,30 +28,40 @@ def _json_safe(v):
     return v
 
 
+# every record renders as "<ts> | <LEVEL> | <msg>" — the line shape the
+# downstream plot/repair scripts key their regexes on
+_LINE_FORMAT = "%(asctime)s | %(levelname)s | %(message)s"
+
+
+def _build_handlers(cfg) -> list:
+    """stdout always; plus the per-run log file when ``log_to_file`` is on."""
+    handlers = [logging.StreamHandler(sys.stdout)]
+    if cfg.logging.log_to_file:
+        log_dir = os.path.join(cfg.paths.outputs_dir, "logs")
+        os.makedirs(log_dir, exist_ok=True)
+        handlers.append(logging.FileHandler(
+            os.path.join(log_dir, f"{cfg.paths.run_id}.log")))
+    fmt = logging.Formatter(_LINE_FORMAT)
+    for h in handlers:
+        h.setFormatter(fmt)
+    return handlers
+
+
 def init_logger(name: str = "beta_vae_se") -> logging.Logger:
-    """Singleton stdout(+file) logger (reference ``logger.py:10-32``)."""
+    """Process-wide singleton emitting the protocol line shape
+    (capability parity: reference ``logger.py:10-32``)."""
     global _logger
-    if _logger is not None:
-        return _logger
-    cfg = get_config()
-    level = getattr(logging, str(cfg.logging.log_level).upper(), logging.INFO)
-    logger = logging.getLogger(name)
-    logger.setLevel(level)
-    logger.propagate = False
-    if not logger.handlers:
-        fmt = logging.Formatter("%(asctime)s | %(levelname)s | %(message)s")
-        sh = logging.StreamHandler(sys.stdout)
-        sh.setFormatter(fmt)
-        logger.addHandler(sh)
-        if cfg.logging.log_to_file:
-            run_id = cfg.paths.run_id
-            log_dir = os.path.join(cfg.paths.outputs_dir, "logs")
-            os.makedirs(log_dir, exist_ok=True)
-            fh = logging.FileHandler(os.path.join(log_dir, f"{run_id}.log"))
-            fh.setFormatter(fmt)
-            logger.addHandler(fh)
-    _logger = logger
-    return logger
+    if _logger is None:
+        cfg = get_config()
+        logger = logging.getLogger(name)
+        logger.setLevel(getattr(logging, str(cfg.logging.log_level).upper(),
+                                logging.INFO))
+        logger.propagate = False
+        if not logger.handlers:  # idempotent across re-inits in one process
+            for h in _build_handlers(cfg):
+                logger.addHandler(h)
+        _logger = logger
+    return _logger
 
 
 def reset_logger() -> None:

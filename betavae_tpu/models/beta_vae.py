@@ -226,11 +226,11 @@ class BetaVAEModule(nn.Module):
             raise ValueError(
                 f"training.remat must be true/false/'decoder', got "
                 f"{self.remat!r}")
-        Enc = (nn.remat(ConvBlock, static_argnums=(1,))
-               if mode == "all" else ConvBlock)
         # static_argnums under flax remat: positional args count from the
-        # module itself, so (train, return_gate) passed positionally are
-        # args[2] and args[3] (keyword `train=` in the encoder stays (1,))
+        # module instance itself, so a block called ``blk(h, train, ...)``
+        # has ``train`` at args[2] — both blocks are called positionally
+        Enc = (nn.remat(ConvBlock, static_argnums=(2,))
+               if mode == "all" else ConvBlock)
         Dec = (nn.remat(DeconvBlock, static_argnums=(2, 3))
                if mode in ("all", "decoder") else DeconvBlock)
         self.encoder = [
@@ -266,7 +266,7 @@ class BetaVAEModule(nn.Module):
     def encode(self, x, train: bool = False):
         h = x.astype(self.dtype)
         for blk in self.encoder:
-            h = blk(h, train=train)
+            h = blk(h, train)
         if self.encoder_pooling == "gap":
             h = jnp.mean(h, axis=(1, 2))
         else:

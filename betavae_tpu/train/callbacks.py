@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
+
 from ..config import get_config
 from ..io.checkpoint import flatten_pytree, save_sharded_checkpoint
 
@@ -48,14 +50,19 @@ class EarlyStopping:
 class CheckpointManager:
     """Saves jitted-state snapshots with reference-compatible naming.
 
-    ``async_io=True`` overlaps the device→host transfer and file write with
-    training (orbax-style): the state is snapshotted on device with
-    ``jnp.copy`` (fresh buffers, so the training loop's donated buffers are
-    never touched by the writer), and a single background thread pulls and
-    writes it.  Saves are strictly ordered — each save drains the previous
-    one — and :meth:`drain` must run before reading the files or exiting
-    (``train()`` drains at loop exit).  Off by default; the artifacts are
-    byte-identical either way (tested).
+    ``async_io=True`` makes saves fully non-blocking (orbax-style): the
+    state is snapshotted on device with ``jnp.copy`` (fresh buffers, so the
+    training loop's donated buffers are never touched), queued per tag
+    (``latest`` / ``best``), and a background thread performs the
+    device→host pull + file write.  The queue is depth-1 per tag with
+    latest-wins coalescing: when the writer is slower than the epoch rate
+    (e.g. a ~17 MB/s relayed D2H link pulling a ~280 MB state), newer
+    snapshots replace queued ones and the writer self-paces — training
+    NEVER stalls on checkpoint I/O.  On-disk ``latest`` may then lag a few
+    epochs mid-run (deviation ledger, DESIGN.md §4); :meth:`drain` (called
+    at loop exit, even on error) flushes the queue so the final state
+    always lands.  Off by default; artifacts are byte-identical either way
+    (tested).
     """
 
     def __init__(self, num_shards: int = 2, async_io: bool = False):
@@ -66,63 +73,99 @@ class CheckpointManager:
         self.num_shards = num_shards
         self.best_value = None
         self.async_io = async_io
-        self._pending = None
         self._pending_error = None
+        import threading
+
+        self._lock = threading.Lock()
+        self._queue = {}       # tag -> (path, payload with device leaves)
+        self._worker = None
+        self.writes = 0        # completed file writes (observability/tests)
+        self.coalesced = 0     # queued snapshots replaced before writing
 
     def _payload(self, state, epoch: int, total_steps: int, extra: dict) -> dict:
+        # async mode keeps jax.Array leaves on device here; the snapshot and
+        # the device→host pull both happen later (copy at queue time, pull
+        # in the worker thread) so the training thread never blocks
+        on_host = not self.async_io
         return {
             "epoch": int(epoch),
             "total_steps": int(total_steps),
-            "model_state": flatten_pytree(state.model_variables()),
-            "optim_state": flatten_pytree(state.opt_state),
+            "model_state": flatten_pytree(state.model_variables(),
+                                          to_host=on_host),
+            "optim_state": flatten_pytree(state.opt_state, to_host=on_host),
             **{k: (float(v) if hasattr(v, "__float__") else v)
                for k, v in extra.items()},
         }
 
     def drain(self) -> None:
-        """Block until any in-flight async save has finished; re-raise its
-        error if it failed."""
-        if self._pending is not None:
-            self._pending.join()
-            self._pending = None
+        """Block until the queue is flushed and the writer idle; re-raise
+        the first worker error if any save failed."""
+        while True:
+            with self._lock:
+                w = self._worker
+            if w is None:
+                break
+            w.join()
         if self._pending_error is not None:
             err, self._pending_error = self._pending_error, None
             raise err
 
-    def _save(self, path: str, payload: dict):
+    def _run_worker(self):
+        while True:
+            with self._lock:
+                if not self._queue:
+                    self._worker = None
+                    return
+                # 'best' before 'latest': a best improvement is the rarer,
+                # higher-value artifact
+                tag = "best" if "best" in self._queue else next(iter(self._queue))
+                path, payload = self._queue.pop(tag)
+            try:
+                # the device→host pull happens HERE, off the training thread
+                for sec in ("model_state", "optim_state"):
+                    payload[sec] = {k: np.asarray(v)
+                                    for k, v in payload[sec].items()}
+                save_sharded_checkpoint(path, payload,
+                                        num_shards=self.num_shards)
+                self.writes += 1
+            except Exception as e:  # surfaced on the next drain()
+                if self._pending_error is None:
+                    self._pending_error = e
+
+    def _save(self, tag: str, path: str, payload: dict):
         if not self.async_io:
-            return save_sharded_checkpoint(path, payload,
-                                           num_shards=self.num_shards)
+            out = save_sharded_checkpoint(path, payload,
+                                          num_shards=self.num_shards)
+            self.writes += 1
+            return out
         import threading
 
         import jax
         import jax.numpy as jnp
 
-        self.drain()
         # device-side copy: fresh buffers the background pull can read while
-        # the training loop donates/overwrites the live state buffers
+        # the training loop donates/overwrites the live state buffers.  The
+        # copies are enqueued on the device stream *before* the next train
+        # dispatch, so they read the pre-donation values.
         for sec in ("model_state", "optim_state"):
             payload[sec] = {k: (jnp.copy(v) if isinstance(v, jax.Array)
                                 else v)
                             for k, v in payload[sec].items()}
-
-        def work():
-            try:
-                save_sharded_checkpoint(path, payload,
-                                        num_shards=self.num_shards)
-            except Exception as e:  # surfaced on the next drain()
-                self._pending_error = e
-
-        t = threading.Thread(target=work, daemon=True,
-                             name="betavae-ckpt-writer")
-        t.start()
-        self._pending = t
+        with self._lock:
+            if tag in self._queue:
+                self.coalesced += 1
+            self._queue[tag] = (path, payload)
+            if self._worker is None:
+                self._worker = threading.Thread(
+                    target=self._run_worker, daemon=True,
+                    name="betavae-ckpt-writer")
+                self._worker.start()
         return path
 
     def save_latest(self, state, epoch: int, total_steps: int, extra: dict):
         path = os.path.join(self.dir, f"{self.run_id}_latest.pt")
-        return self._save(path, self._payload(state, epoch, total_steps,
-                                              extra))
+        return self._save("latest", path,
+                          self._payload(state, epoch, total_steps, extra))
 
     def restore_best_history(self) -> None:
         """Re-arm ``save_best`` with the historical best after a resume.
@@ -149,6 +192,8 @@ class CheckpointManager:
         if self.best_value is None or monitor_value < self.best_value:
             self.best_value = monitor_value
             path = os.path.join(self.dir, f"{self.run_id}_best.pt")
-            return self._save(path, self._payload(state, epoch, total_steps,
-                                                  extra))
+            # coalescing is monotone-safe here: a queued best snapshot is
+            # only ever replaced by a strictly better one
+            return self._save("best", path,
+                              self._payload(state, epoch, total_steps, extra))
         return None

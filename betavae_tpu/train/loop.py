@@ -279,12 +279,25 @@ def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
     return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model: BetaVAE, spec: LossSpec, *, use_capacity: bool,
-                   lpips_fn=None, has_bn: bool = False,
-                   host_feed: bool = False):
-    """Jitted validation step: stochastic loss + latent means."""
+def make_eval_multi_step(model: BetaVAE, spec: LossSpec, *,
+                         use_capacity: bool, lpips_fn=None,
+                         has_bn: bool = False, host_feed: bool = False):
+    """The whole validation pass (K batches) in ONE ``lax.scan`` dispatch.
 
-    def step(state: TrainState, images, idx, mask, key, sched):
+    The per-batch eval loop used to pay one dispatch+pull round-trip per
+    batch (~RTT each through a relayed runtime, VERDICT r2 weak #1); this
+    scans K batches device-side and returns stacked per-batch metrics
+    ``(K,)`` and latents ``(K, B, D)`` so the host pulls exactly once per
+    validation pass.  Per-batch semantics (masked means, per-batch PRNG
+    keys) are unchanged.
+
+    Signature: ``(state, images, idx_kb, mask_kb, keys_k, sched) ->
+    (metrics_k, mu_k)`` with a single broadcast ``sched`` dict (validation
+    uses one schedule point).  With ``host_feed=True`` ``images`` is the
+    pre-gathered ``(K, B, H, W, C)`` uint8 stack.
+    """
+
+    def one(state, images, idx, mask, key, sched):
         if host_feed:
             x = images.astype(jnp.float32) / 255.0
         else:
@@ -297,7 +310,24 @@ def make_eval_step(model: BetaVAE, spec: LossSpec, *, use_capacity: bool,
         )
         return _scalar_metrics(losses, mask), losses["mu"]
 
-    return jax.jit(step)
+    def multi(state, images, idx_kb, mask_kb, keys_k, sched):
+        if host_feed:
+            def body(carry, inp):
+                x, idx, mask, key = inp
+                return carry, one(state, x, idx, mask, key, sched)
+
+            _, out = jax.lax.scan(body, 0,
+                                  (images, idx_kb, mask_kb, keys_k))
+            return out
+
+        def body(carry, inp):
+            idx, mask, key = inp
+            return carry, one(state, images, idx, mask, key, sched)
+
+        _, out = jax.lax.scan(body, 0, (idx_kb, mask_kb, keys_k))
+        return out
+
+    return jax.jit(multi)
 
 
 def init_state(model: BetaVAE, tx, key) -> TrainState:
@@ -315,19 +345,26 @@ def init_state(model: BetaVAE, tx, key) -> TrainState:
 # ---------------------------------------------------------------------------
 
 def sample_reconstructions(model: BetaVAE, variables, x: np.ndarray, out_dir,
-                           epoch: int, filenames=None, max_images: int = 8):
+                           epoch: int, filenames=None, max_images: int = 8,
+                           recon=None):
     """Deterministic recon panel + diff + stats (ref ``train.py:111-214``).
 
     Saves ``recon_epoch{e}.png`` (originals row above recons),
     ``recon_epoch{e}_diff.png`` and ``recon_epoch{e}_stats.json`` (the
     reference writes a torch ``_stats.pt``; same content as JSON here), and
     prints the per-image MSE + mean pairwise recon-L2 collapse diagnostic.
+
+    ``recon``: an optional pre-dispatched deterministic reconstruction of
+    ``x[:max_images]`` (device handle or array) — the train loop dispatches
+    the forward early so the device work overlaps the validation pull, and
+    only the host-side PNG/stats work happens here.
     """
     x = np.asarray(x)[:max_images]
     if filenames is not None:
         filenames = list(filenames)[: x.shape[0]]
-    recon, mu, logvar, z = model.forward(variables, x, deterministic=True)
-    recon = np.clip(np.asarray(recon), 0.0, 1.0)
+    if recon is None:
+        recon = model.forward(variables, x, deterministic=True)[0]
+    recon = np.clip(np.asarray(recon)[: x.shape[0]], 0.0, 1.0)
 
     per_img_mse = ((recon - x) ** 2).reshape(x.shape[0], -1).mean(axis=1)
     rflat = recon.reshape(x.shape[0], -1)
@@ -464,9 +501,10 @@ def train(resume: str = "none", mesh=None):
                                        use_capacity=use_capacity,
                                        lpips_fn=lpips_fn, has_bn=has_bn,
                                        host_feed=train_dev.host_feed)
-    eval_step = make_eval_step(model, spec, use_capacity=use_capacity,
-                               lpips_fn=lpips_fn, has_bn=has_bn,
-                               host_feed=test_dev.host_feed)
+    eval_multi_step = make_eval_multi_step(model, spec,
+                                           use_capacity=use_capacity,
+                                           lpips_fn=lpips_fn, has_bn=has_bn,
+                                           host_feed=test_dev.host_feed)
 
     early = EarlyStopping(
         patience=int(get(cfg.training, "early_stopping_patience", 20)),
@@ -548,243 +586,339 @@ def train(resume: str = "none", mesh=None):
         os.path.join(cfg.paths.outputs_dir, "profile"),
     )
 
-    for epoch in range(start_epoch, epochs + 1):
-        beta = beta_sched.value(epoch - 1)
-        capacity = cap_sched.value(epoch) if cap_sched.enabled else None
-        free_bits = 0.0
-        if capacity is None and loss_cfg is not None and hasattr(loss_cfg, "free_bits"):
-            free_bits = free_bits_cfg
-        lr = lr_at(epoch, total_steps, base_lr=base_lr,
-                   scheduler=lr_scheduler, total_epochs=epochs)
+    run_error = None
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            beta = beta_sched.value(epoch - 1)
+            capacity = cap_sched.value(epoch) if cap_sched.enabled else None
+            free_bits = 0.0
+            if capacity is None and loss_cfg is not None and hasattr(loss_cfg, "free_bits"):
+                free_bits = free_bits_cfg
+            lr = lr_at(epoch, total_steps, base_lr=base_lr,
+                       scheduler=lr_scheduler, total_epochs=epochs)
 
-        running = {k: 0.0 for k in running_keys}
-        last = {}
-        denom = 0
-        epoch_t0 = time.perf_counter()
+            running = {k: 0.0 for k in running_keys}
+            last = {}
+            denom = 0
+            epoch_t0 = time.perf_counter()
 
-        def sched_for(step_i: int):
-            lr_i = lr_at(epoch, step_i, base_lr=base_lr,
-                         scheduler=lr_scheduler, total_epochs=epochs)
-            vals = {
-                "beta": beta,
-                "capacity": capacity if capacity is not None else 0.0,
-                "capacity_weight": (capacity_weight_cfg
-                                    if capacity_weight_cfg is not None else 1.0),
-                "free_bits": free_bits,
-                "lr": lr_i,
+            def sched_for(step_i: int):
+                lr_i = lr_at(epoch, step_i, base_lr=base_lr,
+                             scheduler=lr_scheduler, total_epochs=epochs)
+                vals = {
+                    "beta": beta,
+                    "capacity": capacity if capacity is not None else 0.0,
+                    "capacity_weight": (capacity_weight_cfg
+                                        if capacity_weight_cfg is not None else 1.0),
+                    "free_bits": free_bits,
+                    "lr": lr_i,
+                }
+                return vals, lr_i
+
+            def emit_log(lr_now):
+                if detect_anomalies and not np.isfinite(float(last["total"])):
+                    raise FloatingPointError(
+                        f"non-finite training loss at step {total_steps} "
+                        f"(epoch {epoch}): total={float(last['total'])} — "
+                        "check LR/grad_clip; resume from the last checkpoint "
+                        "with --resume latest")
+                metrics = {
+                    "epoch": epoch,
+                    "beta": float(beta),
+                    "capacity": float(capacity) if capacity is not None else 0.0,
+                    "train_total_loss": float(running["total"]) / denom,
+                    "train_recon_loss": float(running["recon"]) / denom,
+                    "train_recon_base": float(running["recon_base"]) / denom,
+                    "train_recon_lpips": float(running["recon_lpips"]) / denom,
+                    "train_recon_ffl": float(running["recon_ffl"]) / denom,
+                    "train_kl": float(running["kl_mean"]) / denom,
+                    "train_kl_mean": float(running["kl_mean"]) / denom,
+                    "train_kl_effective_last": float(last["kl_effective"]),
+                    "train_kl_per_dim_mean": float(last["kl_per_dim_mean"]),
+                    "loss_mode": "capacity" if use_capacity else "beta",
+                    "mu_mean_batch": float(last["mu_mean_batch"]),
+                    "z_std_batch": float(last["z_std_batch"]),
+                    "lr": lr_now,
+                }
+                log_metrics(metrics, step=total_steps, phase="train")
+
+            all_batches = list(train_plan.batches(epoch))
+            if max_train_batches is not None:
+                all_batches = all_batches[:max_train_batches]
+            n_steps = len(all_batches)
+
+            # K consecutive steps per XLA dispatch (scan) amortize host/dispatch
+            # latency; the per-step logging protocol is reconstructed from the
+            # stacked per-step metrics.  Remainder steps use the single-step
+            # program (padding scan steps would corrupt optimizer moments).
+            # Default 192: dispatch-RTT amortization through the relayed runtime
+            # keeps paying up to ~1.4 s dispatches — measured 7.75 / 7.49 / 7.40
+            # / 7.38 ms/step at K = 48 / 96 / 144 / 192 (flagship shape), flat
+            # beyond that.
+            K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 192)),
+                           n_steps))
+            if train_dev.host_feed:
+                # streaming mode ships (K, B, H, W, C) uint8 per dispatch:
+                # auto-derate K to the per-dispatch H2D budget (see
+                # data.pipeline.host_feed_chunk_limit)
+                from ..data.pipeline import host_feed_chunk_limit
+
+                K = min(K, host_feed_chunk_limit(
+                    batch_size, train_ds.images.shape[1:],
+                    float(get(cfg.training, "host_feed_chunk_mb", 8.0))))
+            i = 0
+            lr_now = lr
+            profiler.maybe_start()
+            while i < n_steps:
+                if n_steps - i >= K:
+                    chunk = all_batches[i : i + K]
+                    idx_kb = np.stack([c[0] for c in chunk])
+                    mask_kb = np.stack([c[1] for c in chunk])
+                    if mesh is not None:
+                        idx_kb = jax.device_put(idx_kb, chunk_sh)
+                        mask_kb = jax.device_put(mask_kb, chunk_sh)
+                    keys_k = jnp.stack([
+                        jax.random.fold_in(root_key, total_steps + 1 + j)
+                        for j in range(K)
+                    ])
+                    sched_list = [sched_for(total_steps + j)[0] for j in range(K)]
+                    sched_k = {
+                        name: jnp.asarray([s[name] for s in sched_list],
+                                          jnp.float32)
+                        for name in sched_list[0]
+                    }
+                    feed = (train_dev.batch(np.asarray(idx_kb))
+                            if train_dev.host_feed else train_dev.images)
+                    state, mk = multi_step(state, feed, idx_kb,
+                                           mask_kb, keys_k, sched_k)
+                    mk = {k: np.asarray(v) for k, v in mk.items()}
+                    for j in range(K):
+                        for k in running_keys:
+                            running[k] = running[k] + float(mk[k][j])
+                        last = {k: mk[k][j] for k in mk}
+                        denom += 1
+                        total_steps += 1
+                        lr_now = float(sched_list[j]["lr"])
+                        if total_steps % log_every == 0:
+                            emit_log(lr_now)
+                    i += K
+                    profiler.after_step(K)
+                else:
+                    idx, mask = all_batches[i]
+                    if mesh is not None:
+                        from ..parallel.mesh import shard_batch_indices
+
+                        idx, mask = shard_batch_indices(idx, mask, mesh)
+                    vals, lr_now = sched_for(total_steps)
+                    sched = {k: jnp.float32(v) for k, v in vals.items()}
+                    key = jax.random.fold_in(root_key, total_steps + 1)
+                    feed = (train_dev.batch(np.asarray(idx))
+                            if train_dev.host_feed else train_dev.images)
+                    state, m = train_step(state, feed, idx, mask, key, sched)
+                    for k in running_keys:
+                        running[k] = running[k] + m[k]
+                    last = m
+                    denom += 1
+                    total_steps += 1
+                    if total_steps % log_every == 0:
+                        emit_log(lr_now)
+                    i += 1
+                    profiler.after_step(1)
+            lr = lr_now
+            profiler.stop()
+            epoch_seconds = time.perf_counter() - epoch_t0
+
+            final_train_kl_mean = float(running["kl_mean"]) / max(1, denom)
+            final_train_kl_effective = float(last.get("kl_effective", 0.0))
+
+            # ------- validation: scan-chunked dispatch, deferred pulls -----
+            # The per-batch dispatch+pull loop paid ~1 relay RTT per batch
+            # (VERDICT r2 weak #1); now the whole pass is ONE lax.scan
+            # dispatch (chunked only under a host-feed payload budget) and
+            # the host pulls metrics+latents exactly once, after the recon
+            # panel's forward has also been dispatched.  Per-batch
+            # semantics (masked means, per-batch PRNG keys, last-batch
+            # kl_per_dim quirk) are unchanged.
+            tail_t0 = time.perf_counter()
+            sched_v = {
+                "beta": jnp.float32(beta),
+                "capacity": jnp.float32(
+                    capacity if capacity is not None else 0.0),
+                "capacity_weight": jnp.float32(
+                    capacity_weight_cfg
+                    if capacity_weight_cfg is not None else 1.0),
+                "free_bits": jnp.float32(free_bits),
+                "lr": jnp.float32(lr),
             }
-            return vals, lr_i
+            vbatches = list(test_plan.batches(epoch))
+            if max_val_batches is not None:
+                vbatches = vbatches[:max_val_batches]
+            out_chunks = []  # device handles; pulled once below
+            if vbatches:
+                idx_all = np.stack([b[0] for b in vbatches])
+                mask_all = np.stack([b[1] for b in vbatches])
+                keys_all = jnp.stack([
+                    jax.random.fold_in(root_key, 2**31 + epoch * 100_000 + j)
+                    for j in range(len(vbatches))
+                ])
+                if test_dev.host_feed:
+                    from ..data.pipeline import host_feed_chunk_limit
 
-        def emit_log(lr_now):
-            if detect_anomalies and not np.isfinite(float(last["total"])):
-                raise FloatingPointError(
-                    f"non-finite training loss at step {total_steps} "
-                    f"(epoch {epoch}): total={float(last['total'])} — "
-                    "check LR/grad_clip; resume from the last checkpoint "
-                    "with --resume latest")
+                    kv = host_feed_chunk_limit(
+                        batch_size, test_ds.images.shape[1:],
+                        float(get(cfg.training, "host_feed_chunk_mb", 8.0)))
+                else:
+                    kv = len(vbatches)
+                for s in range(0, len(vbatches), kv):
+                    idx_kb = idx_all[s : s + kv]
+                    mask_kb = mask_all[s : s + kv]
+                    keys_k = keys_all[s : s + kv]
+                    feed = (test_dev.batch(idx_kb) if test_dev.host_feed
+                            else test_dev.images)
+                    if mesh is not None:
+                        idx_kb = jax.device_put(idx_kb, chunk_sh)
+                        mask_kb = jax.device_put(mask_kb, chunk_sh)
+                    out_chunks.append(eval_multi_step(
+                        state, feed, idx_kb, mask_kb, keys_k, sched_v))
+
+            # recon panel forward: dispatched NOW (device queue overlaps the
+            # val scan), pulled after probe/ckpt below
+            variables = state.model_variables()
+            panel_job = None  # (imgs_f32[:8], names, recon device handle)
+            if fixed_paths:
+                from ..data.preprocess import _load_image
+
+                imgs = np.stack([
+                    _load_image(p, cfg.data.grayscale,
+                                size=cfg.data.image_size)
+                    for p in fixed_paths[:8]
+                ])
+                panel_job = (imgs, fixed_paths[:8],
+                             model.forward(variables, imgs,
+                                           deterministic=True)[0])
+            elif vbatches:
+                idx0, mask0 = vbatches[0]
+                idx0 = idx0[: int(mask0.sum())][:8]
+                imgs = test_ds.images[idx0].astype(np.float32) / 255.0
+                names = [test_ds.paths[k] for k in idx0]
+                panel_job = (imgs, names,
+                             model.forward(variables, imgs,
+                                           deterministic=True)[0])
+
+            # the single deferred pull for the whole validation pass
+            val_batches = len(vbatches)
+            val_sums = {k: 0.0 for k in running_keys}
+            val_kl_per_dim_mean = 0.0
+            val_latents = []
+            val_labels = []
+            if out_chunks:
+                mk_chunks = [{k: np.asarray(v) for k, v in m.items()}
+                             for m, _ in out_chunks]
+                mu_all = np.concatenate(
+                    [np.asarray(mu) for _, mu in out_chunks], axis=0)
+                mk = {k: np.concatenate([c[k] for c in mk_chunks])
+                      for k in mk_chunks[0]}
+                for k in running_keys:
+                    val_sums[k] = float(mk[k].sum())
+                val_kl_per_dim_mean = float(mk["kl_per_dim_mean"][-1])
+                for j in range(val_batches):
+                    real = int(mask_all[j].sum())
+                    val_latents.append(mu_all[j][:real])
+                    val_labels.extend(
+                        test_ds.labels[idx_all[j][:real]].tolist())
+            val_seconds = time.perf_counter() - tail_t0
+
+            vb = max(1, val_batches)
+            val_total = float(val_sums["total"]) / vb
+            probe_metrics = {
+                "latent_probe_auc": float("nan"),
+                "best_dim_auc": float("nan"),
+                "best_dim_corr": float("nan"),
+                "best_dim_r2": float("nan"),
+            }
+            if val_latents and len(val_labels) >= 2:
+                probe_metrics = compute_probe_metrics(
+                    np.concatenate(val_latents, axis=0), val_labels
+                )
+            probe_seconds = time.perf_counter() - tail_t0 - val_seconds
             metrics = {
                 "epoch": epoch,
                 "beta": float(beta),
                 "capacity": float(capacity) if capacity is not None else 0.0,
-                "train_total_loss": float(running["total"]) / denom,
-                "train_recon_loss": float(running["recon"]) / denom,
-                "train_recon_base": float(running["recon_base"]) / denom,
-                "train_recon_lpips": float(running["recon_lpips"]) / denom,
-                "train_recon_ffl": float(running["recon_ffl"]) / denom,
-                "train_kl": float(running["kl_mean"]) / denom,
-                "train_kl_mean": float(running["kl_mean"]) / denom,
-                "train_kl_effective_last": float(last["kl_effective"]),
-                "train_kl_per_dim_mean": float(last["kl_per_dim_mean"]),
+                "val_total_loss": val_total,
+                "val_recon_loss": float(val_sums["recon"]) / vb,
+                "val_recon_base": float(val_sums["recon_base"]) / vb,
+                "val_recon_lpips": float(val_sums["recon_lpips"]) / vb,
+                "val_recon_ffl": float(val_sums["recon_ffl"]) / vb,
+                "val_kl": float(val_sums["kl_mean"]) / vb,
+                "val_kl_per_dim_mean": float(val_kl_per_dim_mean),
                 "loss_mode": "capacity" if use_capacity else "beta",
-                "mu_mean_batch": float(last["mu_mean_batch"]),
-                "z_std_batch": float(last["z_std_batch"]),
-                "lr": lr_now,
+                "train_kl_mean": final_train_kl_mean,
+                "train_kl_effective_last": final_train_kl_effective,
+                **probe_metrics,
+                # first-class throughput observability (additive keys; the
+                # reference had none — SURVEY.md §5 "tracing/profiling: none")
+                "epoch_seconds": round(epoch_seconds, 3),
+                "train_steps_per_sec": round(denom / max(epoch_seconds, 1e-9), 3),
+                "train_images_per_sec": round(
+                    denom * batch_size / max(epoch_seconds, 1e-9), 1),
             }
-            log_metrics(metrics, step=total_steps, phase="train")
+            log_metrics(metrics, step=total_steps, phase="val")
 
-        all_batches = list(train_plan.batches(epoch))
-        if max_train_batches is not None:
-            all_batches = all_batches[:max_train_batches]
-        n_steps = len(all_batches)
+            # 'latest' cadence is configurable (additive key; reference saved
+            # every epoch — the default): on tunneled/slow storage the D2H pull
+            # of model+optimizer state can dominate short epochs
+            t_ckpt = time.perf_counter()
+            ckpt_every = int(get(cfg.training, "checkpoint_every_epochs", 1))
+            if epoch % max(1, ckpt_every) == 0 or epoch == epochs:
+                ckpt.save_latest(state, epoch, total_steps,
+                                 {"val_total": val_total})
+            ckpt.save_best(state, epoch, total_steps, {"val_total": val_total},
+                           monitor_value=val_total)
+            ckpt_seconds = time.perf_counter() - t_ckpt
 
-        # K consecutive steps per XLA dispatch (scan) amortize host/dispatch
-        # latency; the per-step logging protocol is reconstructed from the
-        # stacked per-step metrics.  Remainder steps use the single-step
-        # program (padding scan steps would corrupt optimizer moments).
-        # Default 192: dispatch-RTT amortization through the relayed runtime
-        # keeps paying up to ~1.4 s dispatches — measured 7.75 / 7.49 / 7.40
-        # / 7.38 ms/step at K = 48 / 96 / 144 / 192 (flagship shape), flat
-        # beyond that.
-        K = max(1, min(int(get(cfg.training, "scan_chunk_steps", 192)),
-                       n_steps))
-        i = 0
-        lr_now = lr
-        profiler.maybe_start()
-        while i < n_steps:
-            if n_steps - i >= K:
-                chunk = all_batches[i : i + K]
-                idx_kb = np.stack([c[0] for c in chunk])
-                mask_kb = np.stack([c[1] for c in chunk])
-                if mesh is not None:
-                    idx_kb = jax.device_put(idx_kb, chunk_sh)
-                    mask_kb = jax.device_put(mask_kb, chunk_sh)
-                keys_k = jnp.stack([
-                    jax.random.fold_in(root_key, total_steps + 1 + j)
-                    for j in range(K)
-                ])
-                sched_list = [sched_for(total_steps + j)[0] for j in range(K)]
-                sched_k = {
-                    name: jnp.asarray([s[name] for s in sched_list],
-                                      jnp.float32)
-                    for name in sched_list[0]
-                }
-                feed = (train_dev.batch(np.asarray(idx_kb))
-                        if train_dev.host_feed else train_dev.images)
-                state, mk = multi_step(state, feed, idx_kb,
-                                       mask_kb, keys_k, sched_k)
-                mk = {k: np.asarray(v) for k, v in mk.items()}
-                for j in range(K):
-                    for k in running_keys:
-                        running[k] = running[k] + float(mk[k][j])
-                    last = {k: mk[k][j] for k in mk}
-                    denom += 1
-                    total_steps += 1
-                    lr_now = float(sched_list[j]["lr"])
-                    if total_steps % log_every == 0:
-                        emit_log(lr_now)
-                i += K
-                profiler.after_step(K)
-            else:
-                idx, mask = all_batches[i]
-                if mesh is not None:
-                    from ..parallel.mesh import shard_batch_indices
+            # recon panel: finish the forward dispatched before the val pull
+            # (first val batch, or the fixed debug paths)
+            t_panel = time.perf_counter()
+            if panel_job is not None:
+                imgs, names, recon_dev = panel_job
+                sample_reconstructions(model, variables, imgs, figures_dir,
+                                       epoch, filenames=names,
+                                       recon=recon_dev)
+            panel_seconds = time.perf_counter() - t_panel
 
-                    idx, mask = shard_batch_indices(idx, mask, mesh)
-                vals, lr_now = sched_for(total_steps)
-                sched = {k: jnp.float32(v) for k, v in vals.items()}
-                key = jax.random.fold_in(root_key, total_steps + 1)
-                feed = (train_dev.batch(np.asarray(idx))
-                        if train_dev.host_feed else train_dev.images)
-                state, m = train_step(state, feed, idx, mask, key, sched)
-                for k in running_keys:
-                    running[k] = running[k] + m[k]
-                last = m
-                denom += 1
-                total_steps += 1
-                if total_steps % log_every == 0:
-                    emit_log(lr_now)
-                i += 1
-                profiler.after_step(1)
-        lr = lr_now
-        profiler.stop()
-        epoch_seconds = time.perf_counter() - epoch_t0
+            # per-epoch tail observability (additive phase; SURVEY.md §5):
+            # where the wall time outside the train steps actually goes
+            tail_seconds = time.perf_counter() - tail_t0
+            log_metrics({
+                "epoch": epoch,
+                "val_seconds": round(val_seconds, 3),
+                "probe_seconds": round(probe_seconds, 3),
+                "ckpt_seconds": round(ckpt_seconds, 3),
+                "panel_seconds": round(panel_seconds, 3),
+                "tail_seconds": round(tail_seconds, 3),
+                "epoch_wall_seconds": round(epoch_seconds + tail_seconds, 3),
+            }, step=total_steps, phase="epoch_end")
 
-        final_train_kl_mean = float(running["kl_mean"]) / max(1, denom)
-        final_train_kl_effective = float(last.get("kl_effective", 0.0))
-
-        # ---------------- validation ----------------
-        val_sums = {k: 0.0 for k in running_keys}
-        val_batches = 0
-        val_kl_per_dim_mean = 0.0
-        val_latents = []
-        val_labels = []
-        val_preview = None
-        for j, (idx, mask) in enumerate(test_plan.batches(epoch)):
-            sched = {
-                "beta": jnp.float32(beta),
-                "capacity": jnp.float32(capacity if capacity is not None else 0.0),
-                "capacity_weight": jnp.float32(
-                    capacity_weight_cfg if capacity_weight_cfg is not None else 1.0
-                ),
-                "free_bits": jnp.float32(free_bits),
-                "lr": jnp.float32(lr),
-            }
-            key = jax.random.fold_in(root_key, 2**31 + epoch * 100_000 + j)
-            feed = (test_dev.batch(idx) if test_dev.host_feed
-                    else test_dev.images)
-            m, mu = eval_step(state, feed, idx, mask, key, sched)
-            if val_preview is None:
-                real = int(mask.sum())
-                val_preview = (idx[:real], mask[:real])
-            for k in running_keys:
-                val_sums[k] = val_sums[k] + m[k]
-            val_kl_per_dim_mean = m["kl_per_dim_mean"]
-            real = int(mask.sum())
-            val_latents.append(np.asarray(mu)[:real])
-            val_labels.extend(test_ds.labels[idx[:real]].tolist())
-            val_batches += 1
-            if max_val_batches is not None and j + 1 >= max_val_batches:
+            early.update(val_total)
+            if early.should_stop:
                 break
 
-        vb = max(1, val_batches)
-        val_total = float(val_sums["total"]) / vb
-        probe_metrics = {
-            "latent_probe_auc": float("nan"),
-            "best_dim_auc": float("nan"),
-            "best_dim_corr": float("nan"),
-            "best_dim_r2": float("nan"),
-        }
-        if val_latents and len(val_labels) >= 2:
-            probe_metrics = compute_probe_metrics(
-                np.concatenate(val_latents, axis=0), val_labels
-            )
-        metrics = {
-            "epoch": epoch,
-            "beta": float(beta),
-            "capacity": float(capacity) if capacity is not None else 0.0,
-            "val_total_loss": val_total,
-            "val_recon_loss": float(val_sums["recon"]) / vb,
-            "val_recon_base": float(val_sums["recon_base"]) / vb,
-            "val_recon_lpips": float(val_sums["recon_lpips"]) / vb,
-            "val_recon_ffl": float(val_sums["recon_ffl"]) / vb,
-            "val_kl": float(val_sums["kl_mean"]) / vb,
-            "val_kl_per_dim_mean": float(val_kl_per_dim_mean),
-            "loss_mode": "capacity" if use_capacity else "beta",
-            "train_kl_mean": final_train_kl_mean,
-            "train_kl_effective_last": final_train_kl_effective,
-            **probe_metrics,
-            # first-class throughput observability (additive keys; the
-            # reference had none — SURVEY.md §5 "tracing/profiling: none")
-            "epoch_seconds": round(epoch_seconds, 3),
-            "train_steps_per_sec": round(denom / max(epoch_seconds, 1e-9), 3),
-            "train_images_per_sec": round(
-                denom * batch_size / max(epoch_seconds, 1e-9), 1),
-        }
-        log_metrics(metrics, step=total_steps, phase="val")
-
-        # 'latest' cadence is configurable (additive key; reference saved
-        # every epoch — the default): on tunneled/slow storage the D2H pull
-        # of model+optimizer state can dominate short epochs
-        ckpt_every = int(get(cfg.training, "checkpoint_every_epochs", 1))
-        if epoch % max(1, ckpt_every) == 0 or epoch == epochs:
-            ckpt.save_latest(state, epoch, total_steps,
-                             {"val_total": val_total})
-        ckpt.save_best(state, epoch, total_steps, {"val_total": val_total},
-                       monitor_value=val_total)
-
-        # recon panel on the first val batch (or fixed paths)
-        variables = state.model_variables()
-        if fixed_paths:
-            from ..data.preprocess import _load_image
-
-            imgs = np.stack([
-                _load_image(p, cfg.data.grayscale, size=cfg.data.image_size)
-                for p in fixed_paths[:8]
-            ])
-            sample_reconstructions(model, variables, imgs, figures_dir, epoch,
-                                   filenames=fixed_paths[:8])
-        elif val_preview is not None:
-            idx0 = val_preview[0]
-            imgs = test_ds.images[idx0].astype(np.float32) / 255.0
-            names = [test_ds.paths[k] for k in idx0]
-            sample_reconstructions(model, variables, imgs, figures_dir, epoch,
-                                   filenames=names)
-
-        early.update(val_total)
-        if early.should_stop:
-            break
-
-    # an in-flight async checkpoint write must land before callers (eval
-    # driver, resume) read the files
-    ckpt.drain()
+    except BaseException as e:
+        run_error = e
+        raise
+    finally:
+        # an in-flight async checkpoint write must land before callers
+        # (eval driver, resume) read the files — even when the loop
+        # raised (e.g. the anomaly guard): without the drain the daemon
+        # writer dies at interpreter exit and can leave a mixed-epoch
+        # 2-shard checkpoint (shard0 new / shard1 old).
+        try:
+            ckpt.drain()
+        except Exception as drain_err:
+            if run_error is None:
+                raise
+            # don't mask the original loop exception; the writer
+            # failure still gets surfaced loudly
+            print(f"[CKPT] async writer also failed: {drain_err!r}")
     return state

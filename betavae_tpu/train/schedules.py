@@ -54,25 +54,21 @@ class BetaSchedule:
         self.total_epochs = total_epochs
 
     def value(self, epoch: int) -> float:
-        if self.type == "constant":
+        """β at 0-based ``epoch``: every schedule type interpolates
+        ``start → end`` by a warmup fraction in [0, 1]; a degenerate knob
+        (no warmup epochs / single-epoch run / zero-length cycle) and the
+        constant type short-circuit to ``end``."""
+        kind = self.type
+        if kind == "linear" and self.warm > 0:
+            frac = min(1.0, epoch / float(self.warm))
+        elif kind == "cosine" and self.total_epochs > 1:
+            frac = 0.5 - 0.5 * math.cos(
+                math.pi * epoch / (self.total_epochs - 1))
+        elif kind in ("cyclical", "cyc") and self.cycle > 0:
+            frac = (epoch % self.cycle) / float(self.cycle)
+        else:
             return self.end
-        if self.type == "linear":
-            if self.warm <= 0:
-                return self.end
-            ratio = min(1.0, epoch / float(self.warm))
-            return self.start + (self.end - self.start) * ratio
-        if self.type == "cosine":
-            if self.total_epochs <= 1:
-                return self.end
-            return self.start + 0.5 * (self.end - self.start) * (
-                1 - math.cos(math.pi * epoch / (self.total_epochs - 1))
-            )
-        if self.type in ("cyclical", "cyc"):
-            if self.cycle <= 0:
-                return self.end
-            pos = (epoch % self.cycle) / float(self.cycle)
-            return self.start + (self.end - self.start) * pos
-        return self.end
+        return self.start + (self.end - self.start) * frac
 
 
 class CapacitySchedule:

@@ -16,13 +16,13 @@ from betavae_tpu.data.demo import CLASSES, generate_demo_data
 
 def main():
     parser = argparse.ArgumentParser(
-        description="Generate synthetic demo dataset.")
+        description="Write the seeded synthetic 4-class demo dataset.")
     parser.add_argument("--config", type=str, default=None,
-                        help="Path to YAML config.")
+                        help="YAML config to activate for this run.")
     parser.add_argument("--train-per-class", type=int, default=24,
-                        help="Images per class for train split.")
+                        help="Train-split image count per class.")
     parser.add_argument("--test-per-class", type=int, default=12,
-                        help="Images per class for test split.")
+                        help="Test-split image count per class.")
     args = parser.parse_args()
 
     if args.config:
@@ -38,7 +38,8 @@ def main():
         size=cfg.data.image_size,
         classes=CLASSES,
     )
-    print(f"Wrote synthetic data to {cfg.paths.processed_dir} (train/test splits).")
+    print(f"Demo dataset ready under {cfg.paths.processed_dir} "
+          f"({cfg.data.train_subdir}/ + {cfg.data.test_subdir}/).")
 
 
 if __name__ == "__main__":

@@ -126,3 +126,87 @@ def test_async_checkpoint_under_mesh(demo_config_factory):
     for a, b in zip(jax.tree_util.tree_leaves(loaded["params"]),
                     jax.tree_util.tree_leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_saves_coalesce_latest_wins(demo_config_factory, monkeypatch):
+    """When the writer is slower than the save rate, queued snapshots are
+    replaced (latest wins) and training-side calls never block; the final
+    file holds the newest state after drain."""
+    import time
+
+    import jax
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import load_sharded_checkpoint
+    from betavae_tpu.train import callbacks as cb
+
+    get_config(demo_config_factory())
+    state = _tiny_state()
+
+    real_save = cb.save_sharded_checkpoint
+
+    def slow_save(path, payload, num_shards=2):
+        time.sleep(0.35)
+        return real_save(path, payload, num_shards=num_shards)
+
+    monkeypatch.setattr(cb, "save_sharded_checkpoint", slow_save)
+    m = cb.CheckpointManager(num_shards=2, async_io=True)
+    m.run_id = "coalesce"
+    t0 = time.perf_counter()
+    for epoch in range(1, 9):
+        m.save_latest(state, epoch=epoch, total_steps=epoch * 10, extra={})
+    enqueue_seconds = time.perf_counter() - t0
+    m.drain()
+    # 8 requests while each write takes 0.35 s: most must have coalesced,
+    # and the enqueue side must not have blocked on any of them
+    assert m.coalesced >= 1
+    assert m.writes <= 4
+    assert enqueue_seconds < 0.35 * 4
+    payload = load_sharded_checkpoint(
+        os.path.join(m.dir, "coalesce_latest.pt"))
+    assert payload["epoch"] == 8 and payload["total_steps"] == 80
+
+
+def test_async_best_snapshot_isolated_from_later_updates(demo_config_factory,
+                                                         monkeypatch):
+    """A queued best snapshot must capture the state AT save time even if
+    the training-side arrays change before the writer runs (device-copy
+    isolation)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import load_sharded_checkpoint
+    from betavae_tpu.train import callbacks as cb
+
+    get_config(demo_config_factory())
+    state = _tiny_state()
+
+    real_save = cb.save_sharded_checkpoint
+
+    def slow_save(path, payload, num_shards=2):
+        time.sleep(0.3)
+        return real_save(path, payload, num_shards=num_shards)
+
+    monkeypatch.setattr(cb, "save_sharded_checkpoint", slow_save)
+    m = cb.CheckpointManager(num_shards=2, async_io=True)
+    m.run_id = "isolate"
+    leaf0 = jax.tree_util.tree_leaves(state.params)[0]
+    want = np.asarray(leaf0)
+    m.save_best(state, epoch=1, total_steps=1, extra={"val_total": 2.0},
+                monitor_value=2.0)
+    # mutate the live state object's arrays (simulates donation/overwrite)
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda p: p + 100.0, state.params))
+    del state
+    m.drain()
+    payload = load_sharded_checkpoint(os.path.join(m.dir, "isolate_best.pt"))
+    key0 = sorted(payload["model_state"])[0]
+    got = None
+    for k, v in payload["model_state"].items():
+        if np.shape(v) == want.shape and np.allclose(v, want):
+            got = v
+            break
+    assert got is not None, "best checkpoint does not hold the at-save state"

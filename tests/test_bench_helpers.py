@@ -59,3 +59,35 @@ def test_speed_of_light_floor_sane():
     sol3 = speed_of_light_ms(256, 1, 128, 64, 5, batch_size=256,
                              param_count=30_000_000)
     assert sol3["sol_step_ms"] > 10 * sol["sol_step_ms"]
+
+
+def test_encode_device_latency_helper_runs():
+    import jax
+
+    from bench import _encode_latency_device_ms
+    from betavae_tpu.models.beta_vae import BetaVAE, BetaVAEModule
+    from betavae_tpu.train.loop import init_state
+    from betavae_tpu.train.optim import build_optimizer
+    from betavae_tpu.config import get_config, reset_config_cache
+
+    reset_config_cache()
+    get_config(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "configs", "beta_vae_se.yaml"))
+    model = BetaVAE(module=BetaVAEModule(
+        image_size=32, in_channels=1, latent_dim=8, base_channels=8,
+        num_blocks=2, norm_type="layer", se_reduction=8,
+        use_decoder_se=True, encoder_pooling="flatten"))
+    state = init_state(model, build_optimizer(get_config()),
+                       jax.random.PRNGKey(0))
+    dev_ms = _encode_latency_device_ms(model, state, 32, iters=4)
+    assert np.isfinite(dev_ms) and dev_ms > 0
+
+
+def test_e2e_helper_tiny(tmp_path, monkeypatch):
+    """_e2e_images_per_sec at toy scale: runs the full production pipeline
+    (val scan, panel, probes, async ckpt) and returns a finite rate."""
+    import bench as bench_mod
+
+    rate = bench_mod._e2e_images_per_sec(
+        epochs=2, per_class_train=8, per_class_test=4, image_size=32)
+    assert np.isfinite(rate) and rate > 0

@@ -48,3 +48,44 @@ def test_host_feed_training_matches_device_feed(demo_env):
 
     for a, b in zip(dev_leaves, host_leaves):
         np.testing.assert_array_equal(a, b)
+
+
+def test_host_feed_chunk_limit_values():
+    from betavae_tpu.data.pipeline import host_feed_chunk_limit
+
+    # flagship shape: 32 * 128*128 uint8 = 512 KiB/step -> 16 steps per 8 MB
+    assert host_feed_chunk_limit(32, (128, 128, 1), 8.0) == 16
+    # budget below one step still yields a usable chunk of 1
+    assert host_feed_chunk_limit(32, (128, 128, 1), 0.001) == 1
+    # big budget is bounded only by the caller's K
+    assert host_feed_chunk_limit(8, (8, 8, 1), 8.0) >= 1000
+
+
+def test_host_feed_K_derate_matches(demo_env):
+    """A tiny host_feed_chunk_mb budget forces K->1; results are identical
+    (K only sets scan chunking, never the math)."""
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_env
+    raw = yaml.safe_load(open(cfg_path))
+    raw["debug"].update(epochs=1, max_train_batches=4, max_val_batches=1)
+    raw["training"]["scan_chunk_steps"] = 4
+    raw["training"]["max_device_dataset_mb"] = 0  # host streaming
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_full = train()
+    full = [np.asarray(x) for x in
+            jax.tree_util.tree_leaves(state_full.params)]
+
+    raw["training"]["host_feed_chunk_mb"] = 1e-9  # derate K to 1
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_derated = train()
+    derated = [np.asarray(x) for x in
+               jax.tree_util.tree_leaves(state_derated.params)]
+    for a, b in zip(full, derated):
+        np.testing.assert_array_equal(a, b)

@@ -148,3 +148,36 @@ def test_remat_scopes_equivalent():
                                for l in jax.tree_util.tree_leaves(g))))
     assert outs[0] == outs[1] == outs[2]
     np.testing.assert_allclose(grads, grads[0], rtol=1e-6)
+
+
+def test_remat_with_batchnorm_trains():
+    """Regression: remat=True + encoder_norm=batch must not hit
+    TracerBoolConversionError (train must stay a *static* remat arg;
+    blocks are called positionally so static_argnums=(2,) binds it)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from betavae_tpu.models.beta_vae import BetaVAE, BetaVAEModule
+
+    module = BetaVAEModule(image_size=16, in_channels=1, latent_dim=4,
+                           base_channels=4, num_blocks=2,
+                           norm_type="batch", se_reduction=2,
+                           use_decoder_se=True, encoder_pooling="flatten",
+                           remat=True)
+    model = BetaVAE(module=module)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(size=(2, 16, 16, 1)).astype(np.float32))
+
+    @jax.jit
+    def loss(params, bs):
+        (mu, logvar), upd = module.apply(
+            {"params": params, "batch_stats": bs}, x, train=True,
+            method=module.encode, mutable=["batch_stats"])
+        return jnp.sum(mu ** 2 + logvar ** 2)
+
+    g = jax.grad(loss)(variables["params"], variables["batch_stats"])
+    total = sum(float(jnp.sum(jnp.abs(l)))
+                for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0
