@@ -47,6 +47,21 @@ class EarlyStopping:
                 self.should_stop = True
 
 
+_SNAPSHOT_JIT = None
+
+
+def _snapshot_tree(tree):
+    """Fresh on-device copies of every leaf in one compiled dispatch."""
+    global _SNAPSHOT_JIT
+    if _SNAPSHOT_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _SNAPSHOT_JIT = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
+    return _SNAPSHOT_JIT(tree)
+
+
 class CheckpointManager:
     """Saves jitted-state snapshots with reference-compatible naming.
 
@@ -141,16 +156,19 @@ class CheckpointManager:
         import threading
 
         import jax
-        import jax.numpy as jnp
 
         # device-side copy: fresh buffers the background pull can read while
         # the training loop donates/overwrites the live state buffers.  The
         # copies are enqueued on the device stream *before* the next train
-        # dispatch, so they read the pre-donation values.
+        # dispatch, so they read the pre-donation values.  ONE jitted
+        # program copies every leaf — per-leaf jnp.copy would pay one relay
+        # dispatch per leaf (~400 dispatches per save on the flagship state)
+        dev = {sec: {k: v for k, v in payload[sec].items()
+                     if isinstance(v, jax.Array)}
+               for sec in ("model_state", "optim_state")}
+        copies = _snapshot_tree(dev)
         for sec in ("model_state", "optim_state"):
-            payload[sec] = {k: (jnp.copy(v) if isinstance(v, jax.Array)
-                                else v)
-                            for k, v in payload[sec].items()}
+            payload[sec] = {**payload[sec], **copies[sec]}
         with self._lock:
             if tag in self._queue:
                 self.coalesced += 1

@@ -579,12 +579,38 @@ def train(resume: str = "none", mesh=None):
 
     running_keys = ("total", "recon", "recon_base", "recon_lpips",
                     "recon_ffl", "kl_mean")
+    # batched PRNG-key derivation (one dispatch per chunk instead of one
+    # per step — dispatch sends are not free through a relayed runtime)
+    fold_keys = jax.jit(jax.vmap(jax.random.fold_in, in_axes=(None, 0)))
+    # single-pull metric transport: stack the K-step metric dict into one
+    # (n_metrics, K) array on device so the host pays ONE transfer per chunk
+    metric_names = None
+    stack_metrics = jax.jit(
+        lambda mk, names: jnp.stack([mk[k] for k in names]),
+        static_argnums=(1,))
     from ..utils.profiling import StepProfiler
 
     profiler = StepProfiler(
         get(cfg.logging, "profile_steps", 0),
         os.path.join(cfg.paths.outputs_dir, "profile"),
     )
+
+    import threading
+
+    # deferred recon-panel writer: the panel has file/print side effects
+    # only (no control dependency), so its device pull + PNG encode run in
+    # a background thread that overlaps the next epoch's train dispatch
+    panel_thread = None
+    panel_error = [None]
+
+    def _join_panel():
+        nonlocal panel_thread
+        if panel_thread is not None:
+            panel_thread.join()
+            panel_thread = None
+            if panel_error[0] is not None:
+                err, panel_error[0] = panel_error[0], None
+                raise err
 
     run_error = None
     try:
@@ -677,10 +703,12 @@ def train(resume: str = "none", mesh=None):
                     if mesh is not None:
                         idx_kb = jax.device_put(idx_kb, chunk_sh)
                         mask_kb = jax.device_put(mask_kb, chunk_sh)
-                    keys_k = jnp.stack([
-                        jax.random.fold_in(root_key, total_steps + 1 + j)
-                        for j in range(K)
-                    ])
+                    # vmapped fold_in: bit-identical to the per-step host
+                    # loop, but ONE dispatch instead of K through the relay
+                    keys_k = fold_keys(
+                        root_key,
+                        np.arange(total_steps + 1, total_steps + 1 + K,
+                                  dtype=np.uint32))
                     sched_list = [sched_for(total_steps + j)[0] for j in range(K)]
                     sched_k = {
                         name: jnp.asarray([s[name] for s in sched_list],
@@ -691,7 +719,10 @@ def train(resume: str = "none", mesh=None):
                             if train_dev.host_feed else train_dev.images)
                     state, mk = multi_step(state, feed, idx_kb,
                                            mask_kb, keys_k, sched_k)
-                    mk = {k: np.asarray(v) for k, v in mk.items()}
+                    if metric_names is None:
+                        metric_names = tuple(sorted(mk))
+                    stacked = np.asarray(stack_metrics(mk, metric_names))
+                    mk = {k: stacked[i] for i, k in enumerate(metric_names)}
                     for j in range(K):
                         for k in running_keys:
                             running[k] = running[k] + float(mk[k][j])
@@ -757,10 +788,11 @@ def train(resume: str = "none", mesh=None):
             if vbatches:
                 idx_all = np.stack([b[0] for b in vbatches])
                 mask_all = np.stack([b[1] for b in vbatches])
-                keys_all = jnp.stack([
-                    jax.random.fold_in(root_key, 2**31 + epoch * 100_000 + j)
-                    for j in range(len(vbatches))
-                ])
+                keys_all = fold_keys(
+                    root_key,
+                    (2**31 + epoch * 100_000
+                     + np.arange(len(vbatches), dtype=np.int64)
+                     ).astype(np.uint32))
                 if test_dev.host_feed:
                     from ..data.pipeline import host_feed_chunk_limit
 
@@ -805,6 +837,8 @@ def train(resume: str = "none", mesh=None):
                              model.forward(variables, imgs,
                                            deterministic=True)[0])
 
+            val_dispatch_seconds = time.perf_counter() - tail_t0
+
             # the single deferred pull for the whole validation pass
             val_batches = len(vbatches)
             val_sums = {k: 0.0 for k in running_keys}
@@ -812,8 +846,13 @@ def train(resume: str = "none", mesh=None):
             val_latents = []
             val_labels = []
             if out_chunks:
-                mk_chunks = [{k: np.asarray(v) for k, v in m.items()}
-                             for m, _ in out_chunks]
+                if metric_names is None:
+                    metric_names = tuple(sorted(out_chunks[0][0]))
+                mk_chunks = []
+                for m, _ in out_chunks:
+                    st = np.asarray(stack_metrics(m, metric_names))
+                    mk_chunks.append(
+                        {k: st[i] for i, k in enumerate(metric_names)})
                 mu_all = np.concatenate(
                     [np.asarray(mu) for _, mu in out_chunks], axis=0)
                 mk = {k: np.concatenate([c[k] for c in mk_chunks])
@@ -877,14 +916,26 @@ def train(resume: str = "none", mesh=None):
                            monitor_value=val_total)
             ckpt_seconds = time.perf_counter() - t_ckpt
 
-            # recon panel: finish the forward dispatched before the val pull
-            # (first val batch, or the fixed debug paths)
+            # recon panel: hand the pre-dispatched forward to the background
+            # writer (previous epoch's panel must have landed first)
             t_panel = time.perf_counter()
+            _join_panel()
             if panel_job is not None:
                 imgs, names, recon_dev = panel_job
-                sample_reconstructions(model, variables, imgs, figures_dir,
-                                       epoch, filenames=names,
-                                       recon=recon_dev)
+
+                def _panel_work(imgs=imgs, names=names, recon=recon_dev,
+                                epoch=epoch):
+                    try:
+                        sample_reconstructions(model, None, imgs,
+                                               figures_dir, epoch,
+                                               filenames=names, recon=recon)
+                    except Exception as e:  # surfaced on the next join
+                        panel_error[0] = e
+
+                panel_thread = threading.Thread(
+                    target=_panel_work, daemon=True,
+                    name="betavae-panel-writer")
+                panel_thread.start()
             panel_seconds = time.perf_counter() - t_panel
 
             # per-epoch tail observability (additive phase; SURVEY.md §5):
@@ -893,6 +944,7 @@ def train(resume: str = "none", mesh=None):
             log_metrics({
                 "epoch": epoch,
                 "val_seconds": round(val_seconds, 3),
+                "val_dispatch_seconds": round(val_dispatch_seconds, 3),
                 "probe_seconds": round(probe_seconds, 3),
                 "ckpt_seconds": round(ckpt_seconds, 3),
                 "panel_seconds": round(panel_seconds, 3),
@@ -908,11 +960,17 @@ def train(resume: str = "none", mesh=None):
         run_error = e
         raise
     finally:
-        # an in-flight async checkpoint write must land before callers
-        # (eval driver, resume) read the files — even when the loop
-        # raised (e.g. the anomaly guard): without the drain the daemon
-        # writer dies at interpreter exit and can leave a mixed-epoch
-        # 2-shard checkpoint (shard0 new / shard1 old).
+        # the last panel write and any in-flight async checkpoint must land
+        # before callers (eval driver, resume) read the files — even when
+        # the loop raised (e.g. the anomaly guard): without the drain the
+        # daemon writer dies at interpreter exit and can leave a
+        # mixed-epoch 2-shard checkpoint (shard0 new / shard1 old).
+        try:
+            _join_panel()
+        except Exception as panel_err:
+            if run_error is None:
+                raise
+            print(f"[PANEL] background writer also failed: {panel_err!r}")
         try:
             ckpt.drain()
         except Exception as drain_err:

@@ -91,3 +91,25 @@ def test_e2e_helper_tiny(tmp_path, monkeypatch):
     rate = bench_mod._e2e_images_per_sec(
         epochs=2, per_class_train=8, per_class_test=4, image_size=32)
     assert np.isfinite(rate) and rate > 0
+
+
+def test_bench_data_parallel_cpu():
+    """bench.py --data-parallel N on a CPU host: forces N virtual devices,
+    compiles and steps the sharded multi-step program, emits the mesh JSON
+    line (VERDICT r2 #3)."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--data-parallel", "8",
+         "--batch-size", "8", "--image-size", "32", "--scan-chunk", "2",
+         "--steps", "4", "--warmup", "2", "--skip-e2e"],
+        capture_output=True, text=True, cwd=repo, timeout=840)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    d = json.loads(lines[-1])
+    assert d["mesh_devices"] == 8
+    assert d["backend"] == "cpu"
+    assert d["value"] > 0
+    assert d["metric"].startswith("train_images_per_sec_dp8_")

@@ -65,3 +65,76 @@ def test_one_class_fit_split_reports_nan(binary):
     assert model is None
     assert res["classes"] == [0, 1]
     assert len(res["confusion_matrix"]) == 2
+
+
+def _probe_reference_loop(latents, labels):
+    """The original per-dim sklearn loop (reference train.py:44-96 semantics);
+    kept here as the parity oracle for the vectorized implementation."""
+    from sklearn.metrics import r2_score, roc_auc_score
+
+    lat = np.asarray(latents)
+    y = np.asarray(labels)
+    classes = np.unique(y)
+    best_auc, best_corr, best_r2 = [], [], []
+    for k in range(lat.shape[1]):
+        z = lat[:, k]
+        if np.allclose(z, z[0]):
+            continue
+        if len(classes) == 2:
+            try:
+                best_auc.append(roc_auc_score(y, z))
+            except Exception:
+                pass
+        else:
+            per_class_auc = []
+            for cls in classes:
+                y_bin = (y == cls).astype(int)
+                if y_bin.sum() == 0 or y_bin.sum() == len(y):
+                    continue
+                try:
+                    per_class_auc.append(roc_auc_score(y_bin, z))
+                except Exception:
+                    continue
+            if per_class_auc:
+                best_auc.append(np.max(per_class_auc))
+        for cls in classes:
+            y_bin = (y == cls).astype(int)
+            if np.std(y_bin) == 0:
+                continue
+            if np.std(z) > 0:
+                c = np.corrcoef(z, y_bin)[0, 1]
+                if not np.isnan(c):
+                    best_corr.append(abs(c))
+            try:
+                best_r2.append(r2_score(y_bin, z))
+            except Exception:
+                pass
+    return {
+        "best_dim_auc": float(np.max(best_auc)) if best_auc else float("nan"),
+        "best_dim_corr": float(np.max(best_corr)) if best_corr else float("nan"),
+        "best_dim_r2": float(np.max(best_r2)) if best_r2 else float("nan"),
+    }
+
+
+def test_vectorized_probe_matches_sklearn_loop():
+    from betavae_tpu.eval.probes import compute_probe_metrics
+
+    rng = np.random.default_rng(0)
+    for trial, n_cls in [(0, 4), (1, 2), (2, 4)]:
+        lat = rng.standard_normal((257, 16))
+        lat[:, 3] = 0.0                      # constant dim: must be skipped
+        y = rng.integers(0, n_cls, 257)
+        lat[:, 5] += 2.0 * (y == 0)          # one informative dim + ties
+        lat[:, 7] = np.round(lat[:, 7])      # heavy ties exercise midranks
+        got = compute_probe_metrics(lat, list(y))
+        want = _probe_reference_loop(lat, y)
+        for k, w in want.items():
+            assert abs(got[k] - w) < 1e-9, (trial, k, got[k], w)
+
+
+def test_vectorized_probe_binary_single_class_split():
+    from betavae_tpu.eval.probes import compute_probe_metrics
+
+    out = compute_probe_metrics(np.random.default_rng(0).standard_normal(
+        (10, 4)), [1] * 10)
+    assert np.isnan(out["best_dim_auc"])
