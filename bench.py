@@ -136,6 +136,7 @@ def _e2e_images_per_sec(epochs: int = 4, per_class_train: int = 1456,
         yaml.safe_dump(base, f)
 
     walls = []
+    tails = []
 
     class Capture(logging.Handler):
         def emit(self, record):
@@ -144,6 +145,7 @@ def _e2e_images_per_sec(epochs: int = 4, per_class_train: int = 1456,
                 d = json.loads(msg[len("METRICS "):])
                 if d.get("phase") == "epoch_end":
                     walls.append(float(d["epoch_wall_seconds"]))
+                    tails.append(d)
 
     reset_config_cache()
     reset_logger()
@@ -159,8 +161,64 @@ def _e2e_images_per_sec(epochs: int = 4, per_class_train: int = 1456,
     n_train = 4 * per_class_train
     if len(walls) < 2:
         raise RuntimeError(f"expected >=2 epochs, got walls={walls}")
+    # per-component tail breakdown over the steady epochs, for diagnosis
+    steady_tails = tails[1:]
+    breakdown = {
+        k: round(sum(t[k] for t in steady_tails) / len(steady_tails), 3)
+        for k in ("val_seconds", "probe_seconds", "ckpt_seconds",
+                  "panel_seconds", "tail_seconds", "epoch_wall_seconds")
+    }
+    print(json.dumps({"e2e_epoch_breakdown": breakdown}), file=sys.stderr)
     steady = walls[1:]
     return n_train * len(steady) / sum(steady)
+
+
+def _pallas_canary():
+    """Mosaic-regression canary for the two non-default Pallas kernels.
+
+    ``ops/pallas_gn.py`` and ``ops/pallas_head.py`` are kept as measured
+    negative results (docs/DESIGN.md §3.0.1–§3.0.2) — correct, hardware-
+    validated building blocks that XLA beats end-to-end.  Their CPU tests
+    run the TPU *interpreter*; this canary is the only place they compile
+    through the real Mosaic toolchain each round, so a Mosaic/compile-
+    service regression surfaces here rather than silently rotting the
+    kernels.  Small shapes inside the hardware-validated envelope; outputs
+    are checked against the XLA oracles, not just compiled.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from betavae_tpu.ops.pallas_elbo import tpu_backend_available
+    from betavae_tpu.ops.pallas_gn import (fused_gn_relu_pool,
+                                           reference_gn_relu_pool)
+    from betavae_tpu.ops.pallas_head import (fused_se_conv_head,
+                                             head_conv_reference)
+
+    if not tpu_backend_available():
+        return "skipped (cpu)"
+
+    rng = np.random.default_rng(20260817)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 64)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)
+    y, pooled = fused_gn_relu_pool(x, gamma, beta)
+    y_ref, pooled_ref = reference_gn_relu_pool(x, gamma, beta)
+    gn_err = max(float(jnp.abs(y - y_ref).max()),
+                 float(jnp.abs(pooled - pooled_ref).max()))
+
+    s = jnp.asarray(rng.uniform(0.1, 1.0, size=(2, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 64)).astype(np.float32) * 0.1)
+    out = fused_se_conv_head(x, s, k)
+    out_ref = head_conv_reference(x, s, k)
+    head_err = float(jnp.abs(out - out_ref).max())
+
+    # the head oracle's conv runs at TPU default precision (bf16 MXU
+    # passes), so agreement is bf16-rounding-level — the kernel itself
+    # accumulates fp32 (measured gn≈1e-6, head≈1e-2 on v5e)
+    if gn_err > 1e-4 or head_err > 5e-2:
+        raise ValueError(f"pallas canary drift: gn_err={gn_err:.2e} "
+                         f"head_err={head_err:.2e}")
+    return "ok"
 
 
 def _prng_self_check():
@@ -221,6 +279,9 @@ def main():
     parser.add_argument("--warmup", type=int, default=192)
     parser.add_argument("--verbose", action="store_true",
                         help="print a FLOP/roofline breakdown to stderr")
+    parser.add_argument("--scan-chunk", type=int, default=192,
+                        help="train steps per lax.scan dispatch "
+                             "(training.scan_chunk_steps equivalent)")
     parser.add_argument("--skip-e2e", action="store_true",
                         help="skip the end-to-end epochs measurement")
     parser.add_argument("--e2e-epochs", type=int, default=4)
@@ -299,7 +360,7 @@ def main():
     # K steps per dispatch via lax.scan — the same multi-step program the
     # training loop uses (training.scan_chunk_steps default); amortizes host
     # dispatch overhead through the relay
-    K = 192
+    K = int(args.scan_chunk)
     step = make_train_multi_step(
         model, tx, spec,
         aug_kwargs={"use_flip": True, "degrees": 10.0, "brightness": 0.1},
@@ -408,6 +469,13 @@ def main():
     except Exception as e:  # drift or tunnel flake
         prng_error = e
         prng_status = f"FAIL: {e}"
+    # Mosaic-regression canary for the kept-as-negative-result kernels
+    # (DESIGN §3.0.2 decision record): compile+run through the real
+    # toolchain each round; parity-checked against the XLA oracles.
+    try:
+        pallas_status = _pallas_canary()
+    except Exception as e:
+        pallas_status = f"FAIL: {e}"
 
     print(json.dumps({
         "metric": (f"train_images_per_sec_per_chip_{args.image_size}px_"
@@ -420,6 +488,7 @@ def main():
         "encode_p50_ms_bs1": encode_p50,
         "encode_device_ms_bs1": encode_dev,
         "prng_check": prng_status,
+        "pallas_canary": pallas_status,
     }))
     if prng_error is not None:
         raise prng_error
