@@ -108,7 +108,8 @@ def _e2e_images_per_sec(epochs: int = 4, per_class_train: int = 1456,
     from betavae_tpu.logging_utils import reset_logger
     from betavae_tpu.train.loop import train
 
-    work = f"/tmp/betavae_e2e_{image_size}px_{per_class_train}"
+    work = (f"/tmp/betavae_e2e_{image_size}px_{per_class_train}"
+            f"_{per_class_test}")
     marker = os.path.join(work, ".complete")
     if not os.path.exists(marker):
         generate_demo_data(os.path.join(work, "processed"),
@@ -297,12 +298,23 @@ def main():
 
     mesh = None
     if args.data_parallel > 1:
-        # more devices than one chip provides: force the CPU backend with N
-        # virtual devices BEFORE the first backend use (probing
-        # jax.devices() first would commit the TPU backend)
-        from __graft_entry__ import _force_cpu_devices
+        # Use the real backend when it actually has N devices; otherwise
+        # force the CPU backend with N virtual devices (sharded
+        # compile/step verification).  The count probe runs in a
+        # subprocess because touching jax.devices() here would commit the
+        # backend before _force_cpu_devices could switch it.
+        import subprocess
 
-        _force_cpu_devices(args.data_parallel)
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=300)
+        real_devices = (int(probe.stdout.strip().splitlines()[-1])
+                        if probe.returncode == 0 else 1)
+        if real_devices < args.data_parallel:
+            from __graft_entry__ import _force_cpu_devices
+
+            _force_cpu_devices(args.data_parallel)
 
     import jax
     import jax.numpy as jnp
@@ -316,7 +328,8 @@ def main():
                 f"need {args.data_parallel} devices, have "
                 f"{len(jax.devices())}")
         if args.batch_size % args.data_parallel:
-            raise SystemExit("--batch-size must divide --data-parallel")
+            raise SystemExit(
+                "--batch-size must be divisible by --data-parallel")
         mesh = data_parallel_mesh(
             devices=jax.devices()[: args.data_parallel])
 
@@ -472,9 +485,13 @@ def main():
     # Mosaic-regression canary for the kept-as-negative-result kernels
     # (DESIGN §3.0.2 decision record): compile+run through the real
     # toolchain each round; parity-checked against the XLA oracles.
+    # Same loudness contract as the PRNG check: the JSON line prints
+    # first, then the failure re-raises so the run's exit status fails.
+    pallas_error = None
     try:
         pallas_status = _pallas_canary()
     except Exception as e:
+        pallas_error = e
         pallas_status = f"FAIL: {e}"
 
     print(json.dumps({
@@ -492,6 +509,8 @@ def main():
     }))
     if prng_error is not None:
         raise prng_error
+    if pallas_error is not None:
+        raise pallas_error
 
 
 if __name__ == "__main__":

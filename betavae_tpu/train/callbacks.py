@@ -157,6 +157,14 @@ class CheckpointManager:
 
         import jax
 
+        # a failed background write must surface within one epoch (at the
+        # next save), not silently at loop-exit drain: a long run whose
+        # writes all fail would otherwise finish with zero checkpoints
+        with self._lock:
+            if self._pending_error is not None:
+                err, self._pending_error = self._pending_error, None
+                raise err
+
         # device-side copy: fresh buffers the background pull can read while
         # the training loop donates/overwrites the live state buffers.  The
         # copies are enqueued on the device stream *before* the next train

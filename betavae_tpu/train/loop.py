@@ -966,17 +966,21 @@ def train(resume: str = "none", mesh=None):
         # daemon writer dies at interpreter exit and can leave a
         # mixed-epoch 2-shard checkpoint (shard0 new / shard1 old).
         try:
-            _join_panel()
-        except Exception as panel_err:
-            if run_error is None:
-                raise
-            print(f"[PANEL] background writer also failed: {panel_err!r}")
-        try:
-            ckpt.drain()
-        except Exception as drain_err:
-            if run_error is None:
-                raise
-            # don't mask the original loop exception; the writer
-            # failure still gets surfaced loudly
-            print(f"[CKPT] async writer also failed: {drain_err!r}")
+            try:
+                _join_panel()
+            except Exception as panel_err:
+                if run_error is None:
+                    raise
+                print(f"[PANEL] background writer also failed: {panel_err!r}")
+        finally:
+            # drain must run even when the panel join raised — a panel
+            # failure must not strand an in-flight checkpoint write
+            try:
+                ckpt.drain()
+            except Exception as drain_err:
+                if run_error is None:
+                    raise
+                # don't mask the original loop exception; the writer
+                # failure still gets surfaced loudly
+                print(f"[CKPT] async writer also failed: {drain_err!r}")
     return state
