@@ -85,7 +85,7 @@ def _encode_latency_device_ms(model, state, image_size: int,
     return best * 1e3 / iters
 
 
-def _e2e_images_per_sec(epochs: int = 4, per_class_train: int = 1456,
+def _e2e_images_per_sec(epochs: int = 6, per_class_train: int = 1456,
                         per_class_test: int = 328, image_size: int = 128):
     """END-TO-END training throughput at real-dataset scale.
 
@@ -285,7 +285,9 @@ def main():
                              "(training.scan_chunk_steps equivalent)")
     parser.add_argument("--skip-e2e", action="store_true",
                         help="skip the end-to-end epochs measurement")
-    parser.add_argument("--e2e-epochs", type=int, default=4)
+    # 6 epochs = 5 steady ones after the compile-carrying first; the longer
+    # window damps relay jitter on the per-epoch val dispatch
+    parser.add_argument("--e2e-epochs", type=int, default=6)
     parser.add_argument(
         "--data-parallel", type=int, default=0, metavar="N",
         help="run the steady-state step over an N-device data mesh "
