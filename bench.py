@@ -432,12 +432,18 @@ def main():
         sol = speed_of_light_ms(args.image_size, 1, 64, 64, 4,
                                 batch_size=args.batch_size,
                                 param_count=n_params)
+        from betavae_tpu.utils.flops import data_parallel_scaling
+
+        dp8 = data_parallel_scaling(step_s * 1e3, n_params, 8)
         print(json.dumps({"step_ms": round(step_s * 1e3, 3),
                           **{k: v for k, v in fl.items() if k != "layers"},
                           **util,
                           "sol_step_ms": sol["sol_step_ms"],
                           "sol_fraction": round(
-                              sol["sol_step_ms"] / (step_s * 1e3), 4)}),
+                              sol["sol_step_ms"] / (step_s * 1e3), 4),
+                          "dp8_pred_efficiency":
+                              dp8["efficiency_overlapped"],
+                          "dp8_pred_comm_ms": dp8["comm_ms"]}),
               file=sys.stderr)
     if mesh is not None:
         # mesh mode: the headline is the sharded-program rate itself; the

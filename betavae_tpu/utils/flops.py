@@ -167,3 +167,51 @@ def speed_of_light_ms(image_size: int, in_channels: int, latent_dim: int,
             "sol_step_ms": round(fwd_ms + bwd_ms, 3),
             "layers": [(n, round(f * 1e3, 4), round(b * 1e3, 4))
                        for n, f, b in rows]}
+
+
+def data_parallel_scaling(per_chip_step_ms: float, param_count: int,
+                          n_chips: int, ici_gbps: float = 200.0,
+                          grad_bytes_per_param: int = 4,
+                          bwd_fraction: float = 0.6) -> dict:
+    """Analytic N-chip data-parallel efficiency over an ICI mesh.
+
+    Models the per-step gradient ring all-reduce XLA inserts for the
+    ``data`` mesh (SURVEY.md §2.3): each chip moves
+    ``2·(N−1)/N · param_count · grad_bytes`` over its ICI links
+    (reduce-scatter + all-gather), at ``ici_gbps`` aggregate per-chip ICI
+    bandwidth (v5e: 1,600 Gbps ⇒ 200 GB/s default).  Grads are fp32 here
+    (params are fp32 under the bf16 policy), hence 4 bytes/param.
+
+    ``per_chip_step_ms`` is the measured single-chip step at the PER-CHIP
+    batch (for the scaled 256px/bs256 config on 8 chips that is bs32/chip —
+    exactly the flagship shape, so the flagship bench number is the right
+    input).  Two estimates are returned: ``overlapped`` assumes XLA hides
+    the collective under the remaining backward (latency =
+    max(comm, bwd_fraction·compute) + fwd part — the usual steady state for
+    small models), ``serial`` assumes no overlap (upper bound on cost).
+    With this model the 5.1 M-param flagship all-reduce is ~0.36 ms against
+    a 7.6 ms step → ≥95% predicted scaling efficiency at 8 chips; the
+    model exists to set expectations before a real slice is available and
+    to sanity-check measured slice numbers against (`bench.py
+    --data-parallel N` on real hardware).
+    """
+    if n_chips <= 1:
+        return {"n_chips": n_chips, "comm_ms": 0.0,
+                "step_ms_overlapped": per_chip_step_ms,
+                "step_ms_serial": per_chip_step_ms,
+                "efficiency_overlapped": 1.0, "efficiency_serial": 1.0}
+    grad_bytes = param_count * grad_bytes_per_param
+    wire = 2.0 * (n_chips - 1) / n_chips * grad_bytes
+    comm_ms = wire / (ici_gbps * 1e9) * 1e3
+    bwd_ms = bwd_fraction * per_chip_step_ms
+    fwd_ms = per_chip_step_ms - bwd_ms
+    overlapped = fwd_ms + max(bwd_ms, comm_ms)
+    serial = per_chip_step_ms + comm_ms
+    return {
+        "n_chips": n_chips,
+        "comm_ms": round(comm_ms, 4),
+        "step_ms_overlapped": round(overlapped, 3),
+        "step_ms_serial": round(serial, 3),
+        "efficiency_overlapped": round(per_chip_step_ms / overlapped, 4),
+        "efficiency_serial": round(per_chip_step_ms / serial, 4),
+    }

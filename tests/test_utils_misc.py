@@ -64,6 +64,24 @@ def test_utilization_math():
     assert 0.19 < u["mxu_utilization"] < 0.22
 
 
+def test_data_parallel_scaling_model():
+    from betavae_tpu.utils.flops import data_parallel_scaling
+
+    # flagship: 5.1M fp32 grads, 7.6ms step, 8 chips @ 200 GB/s ICI
+    d = data_parallel_scaling(7.6, 5_100_000, 8)
+    # wire bytes/chip: 2*(7/8)*20.4MB = 35.7MB -> 0.1785 ms
+    assert abs(d["comm_ms"] - 0.1785) < 0.001
+    # comm hides entirely under the backward -> no overlapped slowdown
+    assert d["efficiency_overlapped"] == 1.0
+    assert 0.97 < d["efficiency_serial"] < 0.98
+    # degenerate single chip
+    one = data_parallel_scaling(7.6, 5_100_000, 1)
+    assert one["comm_ms"] == 0.0 and one["efficiency_overlapped"] == 1.0
+    # a hypothetical huge model makes comm dominate and efficiency drop
+    big = data_parallel_scaling(7.6, 5_000_000_000, 8, ici_gbps=200.0)
+    assert big["efficiency_overlapped"] < 0.3
+
+
 def test_log_metrics_nan_roundtrip(demo_config_factory):
     from betavae_tpu.config import get_config
     from betavae_tpu.logging_utils import log_metrics, reset_logger
