@@ -171,7 +171,7 @@ def _e2e_images_per_sec(epochs: int = 6, per_class_train: int = 1456,
     }
     print(json.dumps({"e2e_epoch_breakdown": breakdown}), file=sys.stderr)
     steady = walls[1:]
-    return n_train * len(steady) / sum(steady)
+    return n_train * len(steady) / sum(steady), breakdown
 
 
 def _pallas_canary():
@@ -473,15 +473,17 @@ def main():
     # real-dataset scale — the like-for-like comparison against the
     # reference's wall-clock 61 img/s (VERDICT r2 #1)
     if args.skip_e2e:
-        e2e, vs_e2e = "skipped", "skipped"
+        e2e, vs_e2e, e2e_breakdown = "skipped", "skipped", "skipped"
     else:
         try:
-            e2e = round(_e2e_images_per_sec(epochs=args.e2e_epochs,
-                                            image_size=args.image_size), 2)
+            e2e, e2e_breakdown = _e2e_images_per_sec(
+                epochs=args.e2e_epochs, image_size=args.image_size)
+            e2e = round(e2e, 2)
             vs_e2e = round(e2e / BASELINE_IMG_PER_SEC, 3)
         except Exception as e:
             e2e = f"FAIL: {e}"
             vs_e2e = "FAIL"
+            e2e_breakdown = "FAIL"
     # PRNG drift must be loud (VERDICT r1 #7) but must not eat the headline
     # metric: print the JSON line FIRST, then re-raise so the run still fails.
     prng_error = None
@@ -510,6 +512,7 @@ def main():
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
         "e2e_images_per_sec": e2e,
         "vs_baseline_e2e": vs_e2e,
+        "e2e_epoch_breakdown": e2e_breakdown,
         "encode_p50_ms_bs1": encode_p50,
         "encode_device_ms_bs1": encode_dev,
         "prng_check": prng_status,

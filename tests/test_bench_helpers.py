@@ -88,9 +88,11 @@ def test_e2e_helper_tiny(tmp_path, monkeypatch):
     (val scan, panel, probes, async ckpt) and returns a finite rate."""
     import bench as bench_mod
 
-    rate = bench_mod._e2e_images_per_sec(
+    rate, breakdown = bench_mod._e2e_images_per_sec(
         epochs=2, per_class_train=8, per_class_test=4, image_size=32)
     assert np.isfinite(rate) and rate > 0
+    assert set(breakdown) >= {"val_seconds", "tail_seconds",
+                              "epoch_wall_seconds"}
 
 
 def test_bench_data_parallel_cpu():
