@@ -73,6 +73,30 @@ def test_async_worker_error_surfaces_on_drain(demo_config_factory):
     m.drain()  # error is consumed; manager remains usable
 
 
+def test_async_worker_error_surfaces_at_next_save(demo_config_factory):
+    """A failing background write must raise within one epoch (at the next
+    save), not silently at loop-exit drain — a long run whose writes all
+    fail must not finish with zero checkpoints (round-3 review fix)."""
+    import time
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.train.callbacks import CheckpointManager
+
+    get_config(demo_config_factory())
+    state = _tiny_state()
+    m = CheckpointManager(num_shards=2, async_io=True)
+    m.dir = "/proc/definitely/not/writable"
+    m.save_latest(state, epoch=1, total_steps=1, extra={})
+    for _ in range(100):  # let the worker hit the write error
+        time.sleep(0.05)
+        with m._lock:
+            if m._pending_error is not None:
+                break
+    with pytest.raises(Exception):
+        m.save_latest(state, epoch=2, total_steps=2, extra={})
+    m.drain()  # consumed at the save; manager remains usable
+
+
 def test_train_with_async_checkpoint(demo_config_factory):
     import jax
 
