@@ -12,6 +12,38 @@ from __future__ import annotations
 import numpy as np
 
 
+def rank_auc_matrix(scores: np.ndarray, y: np.ndarray):
+    """One-vs-rest ROC-AUC of every score column for every class, in one shot.
+
+    Midrank Mann-Whitney formulation: with ties-averaged ranks ``R`` of a
+    column, ``AUC = (Σ_pos R − n_pos(n_pos+1)/2) / (n_pos · n_neg)`` —
+    exactly ``sklearn.roc_auc_score``'s value (to float64 rounding), for all
+    ``(column, class)`` pairs via a single rank pass plus one matmul instead
+    of D×C sklearn calls (the reference fits them one at a time,
+    ``src/inference/latent_analysis.py:47-89`` /
+    ``src/training/train.py:24-96``).
+
+    Returns ``(auc (D, C), classes (C,))``; a class comprising the entire
+    sample (only possible when ``len(classes) == 1``) yields a NaN column.
+    A constant score column lands on AUC 0.5 for every class, which is also
+    what the reference's zeroed-scores fallback produces.
+    """
+    from scipy.stats import rankdata
+
+    scores = np.asarray(scores, np.float64)
+    y = np.asarray(y)
+    classes = np.unique(y)
+    onehot = y[:, None] == classes[None, :]               # (N, C)
+    n_pos = onehot.sum(axis=0).astype(np.float64)         # (C,)
+    n = float(len(y))
+    ranks = rankdata(scores, axis=0)                      # midranks, per col
+    pos_rank_sum = ranks.T @ onehot                       # (D, C)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (
+            n_pos * (n - n_pos))
+    return auc, classes
+
+
 def compute_probe_metrics(latents, labels) -> dict:
     from sklearn.linear_model import LogisticRegression
     from sklearn.metrics import r2_score, roc_auc_score
@@ -50,8 +82,6 @@ def compute_probe_metrics(latents, labels) -> dict:
     #   AUC      = Mann-Whitney U with midranks (ties-averaged ranks),
     #   corr     = Pearson via centered moments,
     #   R²       = 1 − SS_res/SS_tot of the raw dim as a predictor.
-    from scipy.stats import rankdata
-
     live = ~np.all(np.isclose(lat, lat[:1, :]), axis=0)      # per-dim gate
     onehot = (y[:, None] == classes[None, :])                # (N, C)
     n_pos = onehot.sum(axis=0).astype(np.float64)            # (C,)
@@ -61,11 +91,8 @@ def compute_probe_metrics(latents, labels) -> dict:
     best_auc, best_corr, best_r2 = [], [], []
     if live.any() and valid_cls.any():
         sub = lat[:, live].astype(np.float64)                # (N, D')
-        ranks = rankdata(sub, axis=0)                        # midranks, per dim
         # U-statistic AUC for every (dim, class) pair at once
-        pos_rank_sum = ranks.T @ onehot                      # (D', C)
-        auc = (pos_rank_sum - n_pos * (n_pos + 1) / 2.0) / (
-            n_pos * (n - n_pos))                             # (D', C)
+        auc, _ = rank_auc_matrix(sub, y)                     # (D', C)
         if len(classes) == 2:
             # binary mode scores the raw dim against y directly
             # (roc_auc_score(y, z) == one-vs-rest AUC of the second class)

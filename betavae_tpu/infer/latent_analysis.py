@@ -12,6 +12,12 @@ Capability parity with reference ``src/inference/latent_analysis.py:40-179``:
   ``eval/traversal.py``), ``latent_corr_pairs.csv``, and
   ``latent_ranking_summary.json`` with ``traversal_order_auc/kl``, top-10
   logreg dims, class balance, top-20 |corr| pairs (ref ``:113-179``).
+
+TPU-first notes: every encode for the split is dispatched before any
+device→host pull (one relay round-trip amortized over the whole split), and
+the D×C-per-variant sklearn AUC sweep of the reference is a single midrank
+Mann-Whitney matrix product (``eval.probes.rank_auc_matrix``, shared with
+the per-epoch training probes) — same values to float64 rounding.
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ import numpy as np
 
 from ..config import get_config
 from ..data.dataset import ArrayDataset, build_datasets
+from ..eval.probes import rank_auc_matrix
 from ..eval.run_evaluation import load_model
 from ..io.artifacts import save_json, save_table
 
@@ -50,40 +57,35 @@ def extract_latents_with_kl(model, variables, ds: ArrayDataset):
     return L, K, np.asarray(ds.labels)
 
 
-def _per_dim_auc(scores_fn, L, y):
-    from sklearn.metrics import roc_auc_score
+def _ovr_auc_per_dim(scores_mat: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Per-column one-vs-rest AUC summary, reference semantics.
 
-    out = []
-    classes = np.unique(y)
-    multiclass = len(classes) > 2
-    for i in range(L.shape[1]):
-        scores = scores_fn(L[:, i])
-        try:
-            if multiclass:
-                aucs = []
-                for cls in classes:
-                    y_bin = (y == cls).astype(int)
-                    if y_bin.sum() == 0 or y_bin.sum() == len(y):
-                        continue
-                    aucs.append(roc_auc_score(
-                        y_bin,
-                        scores if scores.var() > 0 else np.zeros_like(scores)))
-                auc = np.max(aucs) if aucs else float("nan")
-            else:
-                auc = roc_auc_score(
-                    y, scores if scores.var() > 0 else np.zeros_like(scores))
-        except Exception:
-            auc = float("nan")
-        out.append((i, float(auc)))
-    return out
+    Multiclass: the max over per-class OVR AUCs; binary: the AUC of the
+    larger label (``roc_auc_score(y, s)``'s convention); degenerate label
+    vectors (a single class) give NaN, matching the reference's
+    try/except-NaN path (``latent_analysis.py:53-66``).  Constant columns
+    land on 0.5 like the reference's zeroed-scores fallback.  One deliberate
+    deviation: when exactly two classes are present but labeled outside
+    {0, 1} (a two-class test split under a multiclass config), sklearn
+    refuses to pick a positive label and the reference's except-clause
+    turns EVERY dim's AUC into NaN — here the Mann-Whitney value for the
+    larger label is reported instead.
+    """
+    auc, classes = rank_auc_matrix(scores_mat, y)
+    if len(classes) < 2:
+        return np.full(scores_mat.shape[1], np.nan)
+    if len(classes) == 2:
+        return auc[:, 1]
+    return np.max(auc, axis=1)  # every present class is valid when C >= 2
 
 
 def per_dimension_auc(L, y):
-    return _per_dim_auc(lambda s: s, L, y)
+    return [(d, float(a)) for d, a in enumerate(_ovr_auc_per_dim(L, y))]
 
 
 def per_dimension_abs_auc(L, y):
-    return _per_dim_auc(np.abs, L, y)
+    return [(d, float(a))
+            for d, a in enumerate(_ovr_auc_per_dim(np.abs(L), y))]
 
 
 def logistic_weights(L, y):
@@ -91,24 +93,98 @@ def logistic_weights(L, y):
 
     clf = LogisticRegression(max_iter=2000)
     clf.fit(L, y)
-    coef = clf.coef_
-    if coef.ndim == 1:
-        coef = coef[None, :]
+    coef = np.atleast_2d(clf.coef_)
     # binary sklearn logreg gives ONE row (the positive class direction) but
     # two classes; the reference indexes coef[cls_idx] and would crash in
     # binary mode (ref latent_analysis.py:128-131) — expand to ±row so each
     # class gets its direction (deviation: bug fix).
     if len(clf.classes_) == 2 and coef.shape[0] == 1:
         coef = np.concatenate([-coef, coef], axis=0)
-    max_abs = np.max(np.abs(coef), axis=0)
-    order = np.argsort(max_abs)[::-1]
+    order = np.argsort(np.max(np.abs(coef), axis=0))[::-1]
     return order, coef, clf.classes_
+
+
+def _nan_last(values: np.ndarray) -> np.ndarray:
+    """Rank order, descending, NaNs pushed to the end."""
+    keyed = np.where(np.isnan(values), -np.inf, values)
+    return np.argsort(-keyed, kind="stable")
+
+
+def build_report(L: np.ndarray, K: np.ndarray, y: np.ndarray,
+                 idx_to_class: dict) -> dict:
+    """Compute every artifact table + the ranking summary (ref ``:108-179``).
+
+    Writes ``per_dimension_auc.csv``, ``latent_usage.csv`` and
+    ``latent_corr_pairs.csv`` through ``save_table`` and returns the
+    ``latent_ranking_summary`` payload.
+    """
+    import pandas as pd
+
+    n_dims = L.shape[1]
+    auc_mu = _ovr_auc_per_dim(L, y)
+    auc_abs = _ovr_auc_per_dim(np.abs(L), y)
+    kl_mean = K.mean(axis=0)
+    mu_var = L.var(axis=0)
+    order, coef, classes = logistic_weights(L, y)
+    class_name = {cls: str(idx_to_class.get(cls, f"class{cls}"))
+                  for cls in classes}
+
+    save_table(
+        pd.DataFrame({"latent_dim": np.arange(n_dims),
+                      "single_dim_auc": auc_mu}),
+        "per_dimension_auc")
+
+    usage = pd.DataFrame({
+        "latent_dim": np.arange(n_dims),
+        "kl_mean": kl_mean,
+        "mu_var": mu_var,
+        "single_dim_auc": auc_mu,
+        "single_dim_auc_abs": auc_abs,
+        "logreg_weight_maxabs": np.max(np.abs(coef), axis=0),
+        # per-class weight columns: eval/traversal.py reads these back as
+        # class directions (artifact-dataflow contract, SURVEY.md §1)
+        **{f"logreg_weight_{class_name[cls]}": coef[row]
+           for row, cls in enumerate(classes)},
+    })
+    save_table(usage.sort_values("kl_mean", ascending=False), "latent_usage")
+
+    # all-pairs latent correlation; the CSV keeps every pair, the summary
+    # only the 20 strongest
+    iu, ju = np.triu_indices(n_dims, k=1)
+    corr_full = np.corrcoef(L, rowvar=False)[iu, ju]
+    save_table(pd.DataFrame({"i": iu, "j": ju, "corr": corr_full}),
+               "latent_corr_pairs")
+    strongest = np.argsort(-np.abs(corr_full), kind="stable")[:20]
+
+    auc_rank = _nan_last(auc_mu)
+    abs_rank = _nan_last(auc_abs)
+    return {
+        "best_auc_dim": int(auc_rank[0]),
+        "best_auc": float(auc_mu[auc_rank[0]]),
+        "best_abs_auc_dim": int(abs_rank[0]),
+        "best_abs_auc": float(auc_abs[abs_rank[0]]),
+        "top_logreg_dims": [{
+            "latent_dim": int(d),
+            "abs_weight_max": float(np.max(np.abs(coef[:, d]))),
+            "weights": {class_name[cls]: float(coef[row, d])
+                        for row, cls in enumerate(classes)},
+            "kl_mean": float(kl_mean[d]),
+            "mu_var": float(mu_var[d]),
+            "single_dim_auc": float(auc_mu[d]),
+        } for d in order[:10]],
+        "traversal_order_auc": [int(d) for d in auc_rank],
+        "traversal_order_kl": [int(d) for d in np.argsort(-kl_mean)],
+        "class_balance": {
+            "counts": {int(k): int(v)
+                       for k, v in zip(*np.unique(y, return_counts=True))}
+        },
+        "top_corr_pairs": [{"i": int(iu[p]), "j": int(ju[p]),
+                            "corr": float(corr_full[p])} for p in strongest],
+    }
 
 
 def main(argv=None):
     import argparse
-
-    import pandas as pd
 
     parser = argparse.ArgumentParser(description="Latent dimension analysis")
     parser.add_argument("--config", type=str, default=None)
@@ -121,83 +197,10 @@ def main(argv=None):
     _, test_ds = build_datasets()
     model, variables = load_model(args.weights)
     L, K, y = extract_latents_with_kl(model, variables, test_ds)
-    aucs = per_dimension_auc(L, y)
-    aucs_abs = per_dimension_abs_auc(L, y)
-    kl_mean = K.mean(axis=0)
-    mu_var = L.var(axis=0)
-    order, coef, classes = logistic_weights(L, y)
-
-    save_table(pd.DataFrame(aucs, columns=["latent_dim", "single_dim_auc"]),
-               "per_dimension_auc")
-
-    usage_payload = {
-        "latent_dim": np.arange(L.shape[1]),
-        "kl_mean": kl_mean,
-        "mu_var": mu_var,
-        "single_dim_auc": [a[1] for a in aucs],
-        "single_dim_auc_abs": [a[1] for a in aucs_abs],
-        "logreg_weight_maxabs": np.max(np.abs(coef), axis=0),
-    }
-    idx_to_class = test_ds.idx_to_class
-    for cls_idx, cls_name in enumerate(classes):
-        cname = idx_to_class.get(cls_name, f"class{cls_name}")
-        usage_payload[f"logreg_weight_{cname}"] = coef[cls_idx]
-    usage_df = pd.DataFrame(usage_payload)
-    save_table(usage_df.sort_values("kl_mean", ascending=False),
-               "latent_usage")
-
-    best = max(aucs, key=lambda t: (t[1] if not np.isnan(t[1]) else -1))
-    best_abs = max(aucs_abs, key=lambda t: (t[1] if not np.isnan(t[1]) else -1))
-
-    top_logreg = []
-    for d in order[:10]:
-        weights_per_class = {
-            str(idx_to_class.get(cls, cls)): float(coef_row[d])
-            for cls, coef_row in zip(classes, coef)
-        }
-        top_logreg.append({
-            "latent_dim": int(d),
-            "abs_weight_max": float(np.max(np.abs(coef[:, d]))),
-            "weights": weights_per_class,
-            "kl_mean": float(kl_mean[d]),
-            "mu_var": float(mu_var[d]),
-            "single_dim_auc": float([a[1] for a in aucs][d]),
-        })
-
-    traversal_order_auc = [
-        int(i) for i, _ in sorted(
-            aucs, key=lambda t: (t[1] if not np.isnan(t[1]) else -1),
-            reverse=True)
-    ]
-    traversal_order_kl = [int(i) for i in np.argsort(-kl_mean)]
-
-    corr = np.corrcoef(L, rowvar=False)
-    triu_idx = np.triu_indices_from(corr, k=1)
-    corr_pairs = [(int(i), int(j), float(c))
-                  for i, j, c in zip(triu_idx[0], triu_idx[1], corr[triu_idx])]
-    corr_pairs_sorted = sorted(corr_pairs, key=lambda t: abs(t[2]),
-                               reverse=True)[:20]
-    save_table(pd.DataFrame(corr_pairs, columns=["i", "j", "corr"]),
-               "latent_corr_pairs")
-
-    res = {
-        "best_auc_dim": int(best[0]),
-        "best_auc": float(best[1]),
-        "best_abs_auc_dim": int(best_abs[0]),
-        "best_abs_auc": float(best_abs[1]),
-        "top_logreg_dims": top_logreg,
-        "traversal_order_auc": traversal_order_auc,
-        "traversal_order_kl": traversal_order_kl,
-        "class_balance": {
-            "counts": {int(k): int(v)
-                       for k, v in zip(*np.unique(y, return_counts=True))}
-        },
-        "top_corr_pairs": [{"i": i, "j": j, "corr": c}
-                           for i, j, c in corr_pairs_sorted],
-    }
-    save_json(res, "latent_ranking_summary")
-    print(json.dumps(res, indent=2))
-    return res
+    report = build_report(L, K, y, test_ds.idx_to_class)
+    save_json(report, "latent_ranking_summary")
+    print(json.dumps(report, indent=2))
+    return report
 
 
 if __name__ == "__main__":

@@ -138,3 +138,83 @@ def test_vectorized_probe_binary_single_class_split():
     out = compute_probe_metrics(np.random.default_rng(0).standard_normal(
         (10, 4)), [1] * 10)
     assert np.isnan(out["best_dim_auc"])
+
+
+def _auc_reference_loop(L, y, transform=lambda s: s):
+    """Reference latent_analysis.py:47-89 per-dim AUC loop, as the parity
+    oracle for the vectorized rewrite."""
+    from sklearn.metrics import roc_auc_score
+
+    classes = np.unique(y)
+    out = []
+    for i in range(L.shape[1]):
+        scores = transform(L[:, i])
+        try:
+            if len(classes) > 2:
+                aucs = []
+                for cls in classes:
+                    y_bin = (y == cls).astype(int)
+                    if y_bin.sum() == 0 or y_bin.sum() == len(y):
+                        continue
+                    aucs.append(roc_auc_score(
+                        y_bin,
+                        scores if scores.var() > 0 else np.zeros_like(scores)))
+                auc = np.max(aucs) if aucs else float("nan")
+            else:
+                auc = roc_auc_score(
+                    y, scores if scores.var() > 0 else np.zeros_like(scores))
+        except Exception:
+            auc = float("nan")
+        out.append((i, float(auc)))
+    return out
+
+
+@pytest.mark.parametrize("n_cls", [2, 3, 4])
+def test_rank_auc_matrix_matches_sklearn(n_cls):
+    from sklearn.metrics import roc_auc_score
+
+    from betavae_tpu.eval.probes import rank_auc_matrix
+
+    rng = np.random.default_rng(7)
+    S = rng.standard_normal((211, 9))
+    S[:, 2] = 1.5                            # constant column -> 0.5
+    S[:, 4] = np.round(S[:, 4] * 2) / 2      # heavy ties -> midranks matter
+    y = rng.integers(0, n_cls, 211)
+    auc, classes = rank_auc_matrix(S, y)
+    assert auc.shape == (9, len(classes))
+    for ci, cls in enumerate(classes):
+        y_bin = (y == cls).astype(int)
+        for d in range(S.shape[1]):
+            want = roc_auc_score(y_bin, S[:, d])
+            assert abs(auc[d, ci] - want) < 1e-12, (d, cls)
+    assert np.allclose(auc[2], 0.5)
+
+
+@pytest.mark.parametrize("n_cls", [2, 4])
+@pytest.mark.parametrize("use_abs", [False, True])
+def test_per_dimension_auc_matches_reference_loop(n_cls, use_abs):
+    from betavae_tpu.infer.latent_analysis import (per_dimension_abs_auc,
+                                                   per_dimension_auc)
+
+    rng = np.random.default_rng(11)
+    L = rng.standard_normal((157, 12))
+    L[:, 0] = -3.0                           # constant dim
+    y = rng.integers(0, n_cls, 157)
+    L[:, 6] += 1.5 * (y == 1)                # informative dim
+    if use_abs:
+        got = per_dimension_abs_auc(L, y)
+        want = _auc_reference_loop(L, y, transform=np.abs)
+    else:
+        got = per_dimension_auc(L, y)
+        want = _auc_reference_loop(L, y)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want],
+                               atol=1e-12)
+
+
+def test_per_dimension_auc_single_class_is_nan():
+    from betavae_tpu.infer.latent_analysis import per_dimension_auc
+
+    L = np.random.default_rng(0).standard_normal((20, 3))
+    got = per_dimension_auc(L, np.zeros(20, dtype=int))
+    assert all(np.isnan(a) for _, a in got)
