@@ -1,4 +1,4 @@
-"""Read-side interop with the reference's torch-pickle checkpoints.
+"""Two-way interop with the reference's torch-pickle checkpoints.
 
 The reference saves shards with ``torch.save`` (payload dict per shard,
 ``src/utils/brain_tumor_utils/io.py:14-39``) and its ``model_state`` keys are
@@ -19,6 +19,20 @@ The reference's torch ``optim_state`` (Adam moment tensors keyed by param
 index) has no optax equivalent and is dropped; resuming *training* from a
 torch checkpoint therefore restarts the optimizer (documented deviation,
 ``docs/DESIGN.md`` §4).  Eval/inference/reshard are unaffected.
+
+The WRITE side (round 3) is the exact inverse:
+
+- :func:`export_model_state` — flax flat paths → reference torch module
+  names over NCHW tensors (HWIO→OIHW kernels, transposed dense weights,
+  the H-major→C-major bottleneck permutation inverted, BatchNorm stats
+  re-homed with a zero ``num_batches_tracked``);
+- :func:`save_torch_reference_checkpoint` — ``torch.save`` shards in the
+  reference's exact layout (sorted keys round-robin, metadata duplicated
+  per shard, ``src/utils/brain_tumor_utils/io.py:14-39``), so a model
+  trained HERE runs through the reference's own eval/inference toolchain
+  unchanged.  The optax optimizer state has no torch equivalent and is
+  omitted (an ``exported_by`` marker is written instead); the reference's
+  ``--resume`` is the one surface that can't consume an export.
 """
 
 from __future__ import annotations
@@ -204,3 +218,156 @@ def convert_model_state(state: dict) -> dict:
         else:
             final["params/" + k] = v
     return final
+
+
+# ---------------------------------------------------------------------------
+# flax flat paths -> torch module names (the exact inverse of the above)
+# ---------------------------------------------------------------------------
+
+def _export_block(src, fx: str, tp: str, conv_name: str) -> dict:
+    """One block's flax params → reference torch naming (NCHW)."""
+    out = {
+        f"{tp}.{conv_name}.weight": np.transpose(
+            src[f"params/{fx}/conv/kernel"], (3, 2, 0, 1)),  # HWIO -> OIHW
+        f"{tp}.{conv_name}.bias": src[f"params/{fx}/conv/bias"],
+    }
+    if f"params/{fx}/norm/bn/scale" in src:  # BatchNorm (+ running stats)
+        out[f"{tp}.norm.weight"] = src[f"params/{fx}/norm/bn/scale"]
+        out[f"{tp}.norm.bias"] = src[f"params/{fx}/norm/bn/bias"]
+        out[f"{tp}.norm.running_mean"] = src[f"batch_stats/{fx}/norm/bn/mean"]
+        out[f"{tp}.norm.running_var"] = src[f"batch_stats/{fx}/norm/bn/var"]
+        # torch's BN bookkeeping counter: not tracked here; 0 is what a
+        # fresh reference model holds and load_state_dict expects the key
+        out[f"{tp}.norm.num_batches_tracked"] = np.asarray(0, np.int64)
+    elif f"params/{fx}/norm/gn/scale" in src:  # GroupNorm(1, C)
+        out[f"{tp}.norm.weight"] = src[f"params/{fx}/norm/gn/scale"]
+        out[f"{tp}.norm.bias"] = src[f"params/{fx}/norm/gn/bias"]
+    if f"params/{fx}/se/fc1/kernel" in src:
+        out[f"{tp}.se.block.fc.0.weight"] = src[f"params/{fx}/se/fc1/kernel"].T
+        out[f"{tp}.se.block.fc.0.bias"] = src[f"params/{fx}/se/fc1/bias"]
+        out[f"{tp}.se.block.fc.2.weight"] = src[f"params/{fx}/se/fc2/kernel"].T
+        out[f"{tp}.se.block.fc.2.bias"] = src[f"params/{fx}/se/fc2/bias"]
+    return out
+
+
+def export_model_state(flat: dict) -> dict:
+    """Flax flat ``model_state`` → reference torch-named NCHW arrays.
+
+    Exact inverse of :func:`convert_model_state` (round-trip tested in
+    ``test_torch_interop.py``); raises on any flax key the mapping does not
+    consume so nothing is dropped silently.
+    """
+    raw = {k: np.asarray(v) for k, v in flat.items()}
+    src = _TrackedState(raw)
+
+    def _block_ids(prefix: str):
+        return sorted({int(k.split("/")[1].split("_")[-1]) for k in raw
+                       if k.startswith(f"params/{prefix}_")})
+
+    enc_ids, dec_ids = _block_ids("enc"), _block_ids("dec")
+    if not enc_ids or "params/fc_mu/kernel" not in raw:
+        raise ValueError(
+            "model_state does not look like this framework's BetaVAE "
+            f"(keys: {sorted(raw)[:6]}...)")
+
+    out = {}
+    for i in enc_ids:
+        out.update(_export_block(src, f"enc_{i}", f"encoder.{i}", "conv"))
+    for i in dec_ids:
+        # reference DeconvBlock(up=True): Sequential[Upsample, Conv] -> the
+        # conv is always module index 1 (ref beta_vae.py:48-58)
+        out.update(_export_block(src, f"dec_{i}", f"decoder_blocks.{i}",
+                                 "up.1"))
+    out["final_conv.weight"] = np.transpose(
+        src["params/final_conv/kernel"], (3, 2, 0, 1))
+    out["final_conv.bias"] = src["params/final_conv/bias"]
+
+    # fc heads: invert the flatten-order permutation, then transpose.
+    # perm[f] is the torch C-major flat index of flax H-major index f, so
+    # writing W[:, perm] = K.T scatters each flax column to its torch slot.
+    k_mu = src["params/fc_mu/kernel"]                   # (flat_flax, latent)
+    flat_dim = k_mu.shape[0]
+    bottleneck_c = raw[f"params/enc_{enc_ids[-1]}/conv/kernel"].shape[3]
+    if flat_dim == bottleneck_c:
+        perm = np.arange(flat_dim)  # gap pooling: no spatial flatten
+    else:
+        side = int(round((flat_dim // bottleneck_c) ** 0.5))
+        if bottleneck_c * side * side != flat_dim:
+            raise ValueError(
+                f"cannot infer bottleneck geometry: flat={flat_dim}, "
+                f"C={bottleneck_c}")
+        perm = _flat_permutation(bottleneck_c, side)
+
+    for head in ("fc_mu", "fc_logvar"):
+        k = src[f"params/{head}/kernel"]
+        w = np.empty((k.shape[1], k.shape[0]), k.dtype)
+        w[:, perm] = k.T
+        out[f"{head}.weight"] = w
+        out[f"{head}.bias"] = src[f"params/{head}/bias"]
+    k_dec = src["params/fc_dec/kernel"]                 # (latent, flat_flax)
+    wt = np.empty_like(k_dec)
+    wt[:, perm] = k_dec
+    out["fc_dec.weight"] = wt.T
+    b_dec = src["params/fc_dec/bias"]
+    b = np.empty_like(b_dec)
+    b[perm] = b_dec
+    out["fc_dec.bias"] = b
+
+    leftovers = set(raw) - src.used
+    if leftovers:
+        raise ValueError(f"unexported parameters: {sorted(leftovers)}")
+    # C-contiguous copies: transposes above are strided views, and torch
+    # propagates a channels-last-strided weight's memory format through its
+    # conv outputs, which breaks the reference's .view() flatten
+    return {k: np.ascontiguousarray(v if v.dtype == np.int64
+                                    else v.astype(np.float32))
+            for k, v in out.items()}
+
+
+def save_torch_reference_checkpoint(base_path: str, payload: dict,
+                                    num_shards: int = 2) -> list:
+    """``torch.save`` ``payload`` in the reference's exact shard layout.
+
+    Reference scheme (``src/utils/brain_tumor_utils/io.py:14-39``):
+    ``model_state`` keys sorted then round-robin across
+    ``<base>_shard{i}.pt`` files; every non-model field duplicated into
+    each shard.  ``model_state`` in flax naming is exported first; metadata
+    scalars pass through.  The optax ``optim_state`` is omitted (see module
+    docstring) and an ``exported_by`` marker records provenance.
+    """
+    import torch
+
+    state = payload.get("model_state")
+    if state is None:
+        raise ValueError("payload missing model_state")
+    if looks_like_torch_state(state):
+        arrays = {k: np.asarray(v) for k, v in state.items()}
+    else:
+        arrays = export_model_state(state)
+    tensors = {k: torch.from_numpy(np.ascontiguousarray(v))
+               for k, v in arrays.items()}
+
+    meta = {}
+    for k, v in payload.items():
+        if k in ("model_state", "optim_state"):
+            continue
+        try:
+            json.dumps(v)
+            meta[k] = v
+        except (TypeError, ValueError):
+            pass
+    meta["exported_by"] = "betavae_tpu"
+
+    keys = sorted(tensors)
+    num_shards = max(1, int(num_shards))
+    root, ext = (base_path[:-3], ".pt") if base_path.endswith(".pt") else (
+        base_path, ".pt")
+    paths = []
+    for si in range(num_shards):
+        shard_keys = keys[si::num_shards]
+        torch.save({**meta,
+                    "model_state": {k: tensors[k] for k in shard_keys},
+                    "shard_id": si, "num_shards": num_shards},
+                   f"{root}_shard{si}{ext}")
+        paths.append(f"{root}_shard{si}{ext}")
+    return paths

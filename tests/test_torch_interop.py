@@ -281,3 +281,223 @@ def test_eval_driver_loads_torch_checkpoint(tmp_path, demo_config_factory):
     # float reassociation between jax and torch conv stacks: ~1e-4 relative
     np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(),
                                rtol=1e-3, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# write side: export our checkpoints into the reference's torch format
+# ---------------------------------------------------------------------------
+
+def _init_flax_state(cfg):
+    import jax
+
+    from betavae_tpu.models.beta_vae import model_from_config
+
+    model = model_from_config(cfg)
+    variables = model.init_variables(jax.random.PRNGKey(5))
+    return model, variables
+
+
+def test_export_roundtrips_through_read_side(tmp_path, tiny_cfg):
+    """export -> torch shards -> read-side convert must be the identity."""
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import save_torch_reference_checkpoint
+
+    _, variables = _init_flax_state(tiny_cfg)
+    flat = flatten_pytree(variables)
+    base = str(tmp_path / "export_best.pt")
+    paths = save_torch_reference_checkpoint(
+        base, {"epoch": 3, "total_steps": 99, "val_total": 12.5,
+               "model_state": flat}, num_shards=2)
+    assert len(paths) == 2 and all(os.path.exists(p) for p in paths)
+
+    payload = load_sharded_checkpoint(base)
+    assert payload["epoch"] == 3
+    assert payload["val_total"] == 12.5
+    assert payload["exported_by"] == "betavae_tpu"
+    back = payload["model_state"]
+    assert set(back) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(flat[k]), err_msg=k)
+
+
+def test_exported_state_matches_reference_naming_and_torch_forward(tmp_path,
+                                                                   tiny_cfg):
+    """The exported dict IS a reference state_dict: raw-torch forward through
+    it equals our flax forward with the original weights (fc-permutation
+    inversion is the part that silently breaks otherwise)."""
+    import jax.numpy as jnp
+
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import export_model_state
+
+    model, variables = _init_flax_state(tiny_cfg)
+    sd_np = export_model_state(flatten_pytree(variables))
+    # exact reference module naming, ready for load_state_dict
+    assert "encoder.0.conv.weight" in sd_np
+    assert "decoder_blocks.0.up.1.weight" in sd_np
+    assert sd_np["fc_mu.weight"].shape == (LATENT, FLAT)
+    sd = {k: torch.from_numpy(v) for k, v in sd_np.items()}
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(size=(2, IMG, IMG, 1)).astype(np.float32)
+    recon, mu, _, _ = model.forward(variables, jnp.asarray(x),
+                                    deterministic=True)
+    want_mu, want_recon = _torch_forward_mu_recon(
+        sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    np.testing.assert_allclose(np.asarray(mu), want_mu.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(recon)[..., 0],
+                               want_recon.numpy()[:, 0],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_export_gap_pooling_roundtrip(tmp_path, demo_config_factory):
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import save_torch_reference_checkpoint
+
+    path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10],
+           "model.encoder_pooling": "gap"})
+    cfg = get_config(path)
+    _, variables = _init_flax_state(cfg)
+    flat = flatten_pytree(variables)
+    base = str(tmp_path / "gap_export.pt")
+    save_torch_reference_checkpoint(base, {"epoch": 1, "model_state": flat},
+                                    num_shards=3)
+    back = load_sharded_checkpoint(base)["model_state"]
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(back[k]),
+                                      np.asarray(flat[k]), err_msg=k)
+
+
+def test_export_batchnorm_emits_running_stats(tmp_path, demo_config_factory):
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import export_model_state
+
+    path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10],
+           "model.encoder_norm": "batch"})
+    cfg = get_config(path)
+    _, variables = _init_flax_state(cfg)
+    sd = export_model_state(flatten_pytree(variables))
+    assert "encoder.0.norm.running_mean" in sd
+    assert "encoder.0.norm.running_var" in sd
+    assert sd["encoder.0.norm.num_batches_tracked"].dtype == np.int64
+
+
+def test_export_unknown_keys_raise(tiny_cfg):
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import export_model_state
+
+    _, variables = _init_flax_state(tiny_cfg)
+    flat = flatten_pytree(variables)
+    flat["params/mystery/kernel"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unexported"):
+        export_model_state(flat)
+
+
+def test_export_cli(tmp_path, demo_config_factory, monkeypatch):
+    """scripts/export_torch_checkpoint.py end-to-end over a saved checkpoint."""
+    import sys
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import (flatten_pytree,
+                                           save_sharded_checkpoint)
+
+    path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10]})
+    cfg = get_config(path)
+    os.makedirs(cfg.paths.models_dir, exist_ok=True)
+    _, variables = _init_flax_state(cfg)
+    flat = flatten_pytree(variables)
+    base = os.path.join(cfg.paths.models_dir, f"{cfg.paths.run_id}_best.pt")
+    save_sharded_checkpoint(base, {"epoch": 2, "total_steps": 10,
+                                   "model_state": flat}, num_shards=2)
+
+    out = str(tmp_path / "for_reference.pt")
+    script_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    monkeypatch.syspath_prepend(script_dir)
+    monkeypatch.setattr(sys, "argv",
+                        ["export_torch_checkpoint.py", "--config", path,
+                         "--checkpoint", "best", "--output", out])
+    import importlib
+
+    mod = importlib.import_module("export_torch_checkpoint")
+    mod.main()
+
+    back = load_sharded_checkpoint(out)
+    assert back["exported_by"] == "betavae_tpu"
+    for k in flat:
+        np.testing.assert_array_equal(np.asarray(back["model_state"][k]),
+                                      np.asarray(flat[k]), err_msg=k)
+
+
+def test_export_loads_into_actual_reference_model(demo_config_factory,
+                                                  monkeypatch):
+    """The definitive write-side check: strict ``load_state_dict`` into the
+    REAL reference ``BetaVAE`` (imported read-only from ``/root/reference``)
+    and deterministic forward parity against our flax model.  Skipped where
+    the reference tree is not mounted."""
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference tree not available")
+
+    import jax.numpy as jnp
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.io.torch_compat import export_model_state
+
+    cfg_path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10]})
+    cfg = get_config(cfg_path)
+    model, variables = _init_flax_state(cfg)
+    sd_np = export_model_state(flatten_pytree(variables))
+
+    monkeypatch.syspath_prepend(ref_src)
+    monkeypatch.setenv("CONFIG_PATH", cfg_path)
+    import importlib
+
+    ref_cp = importlib.import_module("utils.brain_tumor_utils.config_parser")
+    # the reference caches its config in a module global; reset so THIS
+    # test's CONFIG_PATH wins regardless of import order
+    ref_cp._config_cache = None
+    ref_beta_vae = importlib.import_module("models.beta_vae")
+    ref_model = ref_beta_vae.BetaVAE()
+    ref_model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd_np.items()}, strict=True)
+    ref_model.eval()
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(size=(2, IMG, IMG, 1)).astype(np.float32)
+    # canonical NCHW strides: with C=1, a transposed view's size-1-axis
+    # stride makes torch infer channels_last and its convs then propagate
+    # that layout into the reference's `.view()` flatten, which raises — a
+    # latent reference bug its own (canonically-strided) DataLoader batches
+    # never trigger.  `.contiguous()` is a no-op here (a C=1 tensor is
+    # "contiguous" under either layout), so force the re-stride explicitly.
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2).clone(
+        memory_format=torch.contiguous_format)
+    assert xt.stride() == (IMG * IMG, IMG * IMG, IMG, 1)
+    with torch.no_grad():
+        mu_t, _ = ref_model.encode(xt)
+        recon_t = ref_model.decode(mu_t)
+
+    recon, mu, _, _ = model.forward(variables, jnp.asarray(x),
+                                    deterministic=True)
+    np.testing.assert_allclose(np.asarray(mu), mu_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(recon)[..., 0],
+                               recon_t.numpy()[:, 0], rtol=1e-4, atol=1e-5)
