@@ -307,12 +307,18 @@ def main():
         # backend before _force_cpu_devices could switch it.
         import subprocess
 
-        probe = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(len(jax.devices()))"],
-            capture_output=True, text=True, timeout=300)
-        real_devices = (int(probe.stdout.strip().splitlines()[-1])
-                        if probe.returncode == 0 else 1)
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                capture_output=True, text=True, timeout=300)
+            real_devices = (int(probe.stdout.strip().splitlines()[-1])
+                            if probe.returncode == 0 else 1)
+        except subprocess.TimeoutExpired:
+            # a stalled remote-runtime relay can block jax.devices()
+            # indefinitely; treat as "no usable real slice" and fall back
+            # to the CPU virtual-device verification path
+            real_devices = 1
         if real_devices < args.data_parallel:
             from __graft_entry__ import _force_cpu_devices
 
