@@ -612,6 +612,29 @@ def train(resume: str = "none", mesh=None):
                 err, panel_error[0] = panel_error[0], None
                 raise err
 
+    # graceful preemption (SURVEY.md §5 failure recovery; the reference has
+    # none): TPU pods get SIGTERM'd on maintenance/preemption — map it onto
+    # KeyboardInterrupt so the unwind passes through the finally-block below
+    # and the in-flight async checkpoint + panel are drained before exit.
+    # Combined with async_checkpoint the on-disk artifacts stay consistent:
+    # the writer thread never sees the signal (main-thread delivery) and
+    # drain() blocks until its atomic per-shard renames finish.
+    # Escalation: the handler immediately restores SIG_DFL, so a SECOND
+    # SIGTERM kills the process outright — needed when the graceful unwind
+    # itself is stuck (e.g. the first signal landed during a multi-minute
+    # XLA compile, where Python can't run the handler until the C call
+    # returns, and the preemption deadline is about to expire).
+    import signal
+
+    old_sigterm = None
+    if (bool(get(cfg.training, "graceful_shutdown", True))
+            and threading.current_thread() is threading.main_thread()):
+        def _on_sigterm(signum, frame):
+            signal.signal(signal.SIGTERM, signal.SIG_DFL)
+            raise KeyboardInterrupt("SIGTERM")
+
+        old_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+
     run_error = None
     try:
         for epoch in range(start_epoch, epochs + 1):
@@ -976,11 +999,18 @@ def train(resume: str = "none", mesh=None):
             # drain must run even when the panel join raised — a panel
             # failure must not strand an in-flight checkpoint write
             try:
-                ckpt.drain()
-            except Exception as drain_err:
-                if run_error is None:
-                    raise
-                # don't mask the original loop exception; the writer
-                # failure still gets surfaced loudly
-                print(f"[CKPT] async writer also failed: {drain_err!r}")
+                try:
+                    ckpt.drain()
+                except Exception as drain_err:
+                    if run_error is None:
+                        raise
+                    # don't mask the original loop exception; the writer
+                    # failure still gets surfaced loudly
+                    print(f"[CKPT] async writer also failed: {drain_err!r}")
+            finally:
+                if old_sigterm is not None:
+                    signal.signal(signal.SIGTERM, old_sigterm)
+                if isinstance(run_error, KeyboardInterrupt):
+                    print("[SHUTDOWN] interrupted — in-flight checkpoint "
+                          "and panel drained; resume with --resume latest")
     return state

@@ -37,4 +37,10 @@ if __name__ == "__main__":
         n = args.data_parallel
         mesh = data_parallel_mesh(None if n < 0 else n)
         print(f"[MESH] data-parallel over {len(mesh.devices.flat)} device(s)")
-    train(resume=args.resume, mesh=mesh)
+    try:
+        train(resume=args.resume, mesh=mesh)
+    except KeyboardInterrupt:
+        # SIGTERM/ctrl-C after the loop's graceful drain (checkpoints and
+        # panels already landed; the [SHUTDOWN] hint was printed) — exit
+        # with the conventional interrupted status, no traceback noise
+        raise SystemExit(130)
