@@ -272,6 +272,29 @@ def _prng_self_check():
     return "ok"
 
 
+def _last_chip_bench():
+    """Most recent committed real-chip BENCH line (context for fallbacks).
+
+    When the relay is down and the run degrades to the CPU verification,
+    the JSON artifact still carries the last number that WAS measured on
+    the chip, clearly labeled as historical — it is not this run's result.
+    """
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+            d = d.get("parsed", d)  # driver wraps the line under "parsed"
+            if isinstance(d, dict) and "value" in d and \
+                    "cpu" not in str(d.get("backend", "")):
+                return {"source": os.path.basename(p), **d}
+        except Exception:
+            continue
+    return None
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=32)
@@ -298,31 +321,55 @@ def main():
              "number.  Skips the auxiliary metrics.")
     args = parser.parse_args()
 
+    # Probe the default (relayed TPU) backend in a SUBPROCESS with a bounded
+    # timeout before committing this process's backend: the relay has outage
+    # windows where jax.devices() hangs ~25 min then raises UNAVAILABLE
+    # (observed 2026-08-17/18).  Without the probe, an outage turns the
+    # round's BENCH artifact into a hang + traceback; with it, the run falls
+    # back to CPU and says so in the JSON line's "backend" field, keeping
+    # the artifact parseable and honest.  The probe runs out-of-process
+    # because touching jax.devices() here would commit the backend before
+    # _force_cpu_devices could switch it.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            capture_output=True, text=True, timeout=300)
+        real_devices = (int(probe.stdout.strip().splitlines()[-1])
+                        if probe.returncode == 0 else 0)
+    except subprocess.TimeoutExpired:
+        real_devices = 0
+    backend_note = None
     mesh = None
     if args.data_parallel > 1:
         # Use the real backend when it actually has N devices; otherwise
         # force the CPU backend with N virtual devices (sharded
-        # compile/step verification).  The count probe runs in a
-        # subprocess because touching jax.devices() here would commit the
-        # backend before _force_cpu_devices could switch it.
-        import subprocess
-
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(len(jax.devices()))"],
-                capture_output=True, text=True, timeout=300)
-            real_devices = (int(probe.stdout.strip().splitlines()[-1])
-                            if probe.returncode == 0 else 1)
-        except subprocess.TimeoutExpired:
-            # a stalled remote-runtime relay can block jax.devices()
-            # indefinitely; treat as "no usable real slice" and fall back
-            # to the CPU virtual-device verification path
-            real_devices = 1
+        # compile/step verification).
         if real_devices < args.data_parallel:
             from __graft_entry__ import _force_cpu_devices
 
             _force_cpu_devices(args.data_parallel)
+    elif real_devices == 0:
+        from __graft_entry__ import _force_cpu_devices
+
+        _force_cpu_devices(1)
+        backend_note = "cpu-fallback (default backend unavailable)"
+        print("[BENCH] default backend unavailable/timed out; falling back "
+              "to CPU — throughput below is NOT a chip number", file=sys.stderr)
+        # Production shapes are unrunnable on this host (measured: ONE
+        # 128px/bs8 fwd+bwd step = ~120 s on the 1-core CPU, fp32 or bf16
+        # alike) — derate to a small compile+step verification so the
+        # JSON artifact still lands in minutes.  The metric name embeds
+        # the derated shape, and "backend" flags the line as a non-chip
+        # number.
+        args.image_size = min(args.image_size, 64)
+        args.batch_size = min(args.batch_size, 8)
+        args.scan_chunk = min(args.scan_chunk, 2)
+        args.steps = min(args.steps, 2)
+        args.warmup = min(args.warmup, 2)
+        args.skip_e2e = True
 
     import jax
     import jax.numpy as jnp
@@ -466,13 +513,15 @@ def main():
         return
 
     try:
-        encode_p50 = round(
-            _encode_latency_p50_ms(model, state, args.image_size), 2)
+        encode_p50 = round(_encode_latency_p50_ms(
+            model, state, args.image_size,
+            reps=5 if backend_note else 30), 2)
     except Exception as e:  # auxiliary metric must not eat the headline one
         encode_p50 = f"FAIL: {e}"
     try:
-        encode_dev = round(
-            _encode_latency_device_ms(model, state, args.image_size), 3)
+        encode_dev = round(_encode_latency_device_ms(
+            model, state, args.image_size,
+            iters=10 if backend_note else 100), 3)
     except Exception as e:
         encode_dev = f"FAIL: {e}"
     # end-to-end epochs (val + panels + probes + checkpoints included) at
@@ -523,6 +572,8 @@ def main():
         "encode_device_ms_bs1": encode_dev,
         "prng_check": prng_status,
         "pallas_canary": pallas_status,
+        **({"backend": backend_note,
+            "last_chip_bench": _last_chip_bench()} if backend_note else {}),
     }))
     if prng_error is not None:
         raise prng_error
