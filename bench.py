@@ -337,20 +337,50 @@ def main():
             [sys.executable, "-c",
              "import jax; print(len(jax.devices()))"],
             capture_output=True, text=True, timeout=300)
-        real_devices = (int(probe.stdout.strip().splitlines()[-1])
-                        if probe.returncode == 0 else 0)
+        # tolerate banners/warnings around the count: take the last line
+        # that parses as an int; anything unparseable = backend unusable
+        real_devices = 0
+        if probe.returncode == 0:
+            for line in reversed(probe.stdout.strip().splitlines()):
+                try:
+                    real_devices = int(line.strip())
+                    break
+                except ValueError:
+                    continue
     except subprocess.TimeoutExpired:
         real_devices = 0
+
+    def _derate_to_cpu_verification():
+        # Production shapes are unrunnable on this host (measured: ONE
+        # 128px/bs8 fwd+bwd step = ~120 s on the 1-core CPU, fp32 or bf16
+        # alike) — cap at a small compile+step verification so the JSON
+        # artifact still lands in minutes.  Explicitly-passed smaller
+        # flags are respected (caps, not overrides); the metric name
+        # embeds the derated shape.
+        args.image_size = min(args.image_size, 64)
+        # keep the cap a multiple of --data-parallel so the divisibility
+        # check below can't kill the fallback path (e.g. dp=6 → cap 6, not 8)
+        cap = max(8, args.data_parallel)
+        if args.data_parallel > 1:
+            cap -= cap % args.data_parallel
+        args.batch_size = min(args.batch_size, cap)
+        args.scan_chunk = min(args.scan_chunk, 2)
+        args.steps = min(args.steps, 2)
+        args.warmup = min(args.warmup, 2)
+        args.skip_e2e = True
+
     backend_note = None
     mesh = None
     if args.data_parallel > 1:
         # Use the real backend when it actually has N devices; otherwise
         # force the CPU backend with N virtual devices (sharded
-        # compile/step verification).
+        # compile/step verification) — derated the same way as the outage
+        # fallback, since it runs on the same 1-core host.
         if real_devices < args.data_parallel:
             from __graft_entry__ import _force_cpu_devices
 
             _force_cpu_devices(args.data_parallel)
+            _derate_to_cpu_verification()
     elif real_devices == 0:
         from __graft_entry__ import _force_cpu_devices
 
@@ -358,18 +388,7 @@ def main():
         backend_note = "cpu-fallback (default backend unavailable)"
         print("[BENCH] default backend unavailable/timed out; falling back "
               "to CPU — throughput below is NOT a chip number", file=sys.stderr)
-        # Production shapes are unrunnable on this host (measured: ONE
-        # 128px/bs8 fwd+bwd step = ~120 s on the 1-core CPU, fp32 or bf16
-        # alike) — derate to a small compile+step verification so the
-        # JSON artifact still lands in minutes.  The metric name embeds
-        # the derated shape, and "backend" flags the line as a non-chip
-        # number.
-        args.image_size = min(args.image_size, 64)
-        args.batch_size = min(args.batch_size, 8)
-        args.scan_chunk = min(args.scan_chunk, 2)
-        args.steps = min(args.steps, 2)
-        args.warmup = min(args.warmup, 2)
-        args.skip_e2e = True
+        _derate_to_cpu_verification()
 
     import jax
     import jax.numpy as jnp

@@ -38,7 +38,7 @@ def load_metrics_csv(path: str) -> dict:
             raise ValueError(f"{path}: expected 'metric,value' header, "
                              f"got {header}")
         for row in reader:
-            if not row:
+            if len(row) < 2:  # blank lines, stray footers, lone names
                 continue
             name, value = row[0], row[1]
             try:

@@ -112,9 +112,13 @@ def compute_probe_metrics(latents, labels) -> dict:
         best_corr = corr[np.isfinite(corr)]
 
         # r2_score(y_bin, z): 1 - Σ(y_bin - z)² / Σ(y_bin - mean(y_bin))²
+        # Expanded: Σz² - 2·Σ(z·y_bin) + Σy_bin² with y_bin ∈ {0,1}, so the
+        # cross term is a (D', C) matmul and Σy_bin² = n_pos — O(D'·C)
+        # memory instead of an (N, D', C) squared-difference temporary.
         ss_tot = (sb**2) * n                                 # (C,)
-        diff2 = (sub[:, :, None] - onehot[:, None, :]) ** 2  # (N, D', C)
-        ss_res = diff2.sum(axis=0)                           # (D', C)
+        ss_res = ((sub**2).sum(axis=0)[:, None]
+                  - 2.0 * (sub.T @ onehot.astype(np.float64))
+                  + n_pos[None, :])                          # (D', C)
         with np.errstate(invalid="ignore", divide="ignore"):
             r2 = 1.0 - ss_res / ss_tot[None, :]
         r2 = r2[:, valid_cls]

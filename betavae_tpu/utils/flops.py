@@ -170,7 +170,7 @@ def speed_of_light_ms(image_size: int, in_channels: int, latent_dim: int,
 
 
 def data_parallel_scaling(per_chip_step_ms: float, param_count: int,
-                          n_chips: int, ici_gbps: float = 200.0,
+                          n_chips: int, ici_gb_per_s: float = 200.0,
                           grad_bytes_per_param: int = 4,
                           bwd_fraction: float = 0.6) -> dict:
     """Analytic N-chip data-parallel efficiency over an ICI mesh.
@@ -178,7 +178,7 @@ def data_parallel_scaling(per_chip_step_ms: float, param_count: int,
     Models the per-step gradient ring all-reduce XLA inserts for the
     ``data`` mesh (SURVEY.md §2.3): each chip moves
     ``2·(N−1)/N · param_count · grad_bytes`` over its ICI links
-    (reduce-scatter + all-gather), at ``ici_gbps`` aggregate per-chip ICI
+    (reduce-scatter + all-gather), at ``ici_gb_per_s`` aggregate per-chip ICI
     bandwidth (v5e: 1,600 Gbps ⇒ 200 GB/s default).  Grads are fp32 here
     (params are fp32 under the bf16 policy), hence 4 bytes/param.
 
@@ -202,7 +202,7 @@ def data_parallel_scaling(per_chip_step_ms: float, param_count: int,
                 "efficiency_overlapped": 1.0, "efficiency_serial": 1.0}
     grad_bytes = param_count * grad_bytes_per_param
     wire = 2.0 * (n_chips - 1) / n_chips * grad_bytes
-    comm_ms = wire / (ici_gbps * 1e9) * 1e3
+    comm_ms = wire / (ici_gb_per_s * 1e9) * 1e3
     bwd_ms = bwd_fraction * per_chip_step_ms
     fwd_ms = per_chip_step_ms - bwd_ms
     overlapped = fwd_ms + max(bwd_ms, comm_ms)

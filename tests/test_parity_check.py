@@ -38,6 +38,19 @@ def test_identical_tables_pass(tmp_path):
     assert "PARITY" in format_report(res)
 
 
+def test_short_rows_skipped_not_crash(tmp_path):
+    """A lone metric name or stray footer line must be skipped, not raise
+    IndexError — the comparator should report a clean diff either way."""
+    p = str(tmp_path / "m.csv")
+    _write(p, BASE)
+    with open(p, "a", newline="") as f:
+        f.write("orphan_metric_name\n")   # 1-column row
+        f.write("\n")                     # blank
+    m = load_metrics_csv(p)
+    assert "orphan_metric_name" not in m
+    assert m["mse_mean"] == BASE["mse_mean"]
+
+
 def test_families_and_tolerances():
     ref = dict(BASE)
     ours = dict(BASE)

@@ -78,7 +78,7 @@ def test_data_parallel_scaling_model():
     one = data_parallel_scaling(7.6, 5_100_000, 1)
     assert one["comm_ms"] == 0.0 and one["efficiency_overlapped"] == 1.0
     # a hypothetical huge model makes comm dominate and efficiency drop
-    big = data_parallel_scaling(7.6, 5_000_000_000, 8, ici_gbps=200.0)
+    big = data_parallel_scaling(7.6, 5_000_000_000, 8, ici_gb_per_s=200.0)
     assert big["efficiency_overlapped"] < 0.3
 
 
