@@ -295,6 +295,41 @@ def _last_chip_bench():
     return None
 
 
+def _parse_device_count(stdout: str) -> int:
+    """Last line of the probe subprocess's stdout that parses as an int.
+
+    Tolerates banners/warnings around the count; anything unparseable means
+    the backend is unusable (returns 0)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return int(line.strip())
+        except ValueError:
+            continue
+    return 0
+
+
+def _derate_args_for_cpu(args) -> None:
+    """Cap the run at a small compile+step verification for the CPU host.
+
+    Production shapes are unrunnable there (measured: ONE 128px/bs8 fwd+bwd
+    step = ~120 s on the 1-core CPU, fp32 or bf16 alike) — derating keeps
+    the JSON artifact landing in minutes.  Explicitly-passed smaller flags
+    are respected (these are caps, not overrides); the metric name embeds
+    the derated shape."""
+    args.image_size = min(args.image_size, 64)
+    # keep the cap a multiple of --data-parallel so the divisibility
+    # check in main() can't kill the fallback path (e.g. dp=6 → cap 6,
+    # not 8)
+    cap = max(8, args.data_parallel)
+    if args.data_parallel > 1:
+        cap -= cap % args.data_parallel
+    args.batch_size = min(args.batch_size, cap)
+    args.scan_chunk = min(args.scan_chunk, 2)
+    args.steps = min(args.steps, 2)
+    args.warmup = min(args.warmup, 2)
+    args.skip_e2e = True
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch-size", type=int, default=32)
@@ -337,37 +372,10 @@ def main():
             [sys.executable, "-c",
              "import jax; print(len(jax.devices()))"],
             capture_output=True, text=True, timeout=300)
-        # tolerate banners/warnings around the count: take the last line
-        # that parses as an int; anything unparseable = backend unusable
-        real_devices = 0
-        if probe.returncode == 0:
-            for line in reversed(probe.stdout.strip().splitlines()):
-                try:
-                    real_devices = int(line.strip())
-                    break
-                except ValueError:
-                    continue
+        real_devices = (_parse_device_count(probe.stdout)
+                        if probe.returncode == 0 else 0)
     except subprocess.TimeoutExpired:
         real_devices = 0
-
-    def _derate_to_cpu_verification():
-        # Production shapes are unrunnable on this host (measured: ONE
-        # 128px/bs8 fwd+bwd step = ~120 s on the 1-core CPU, fp32 or bf16
-        # alike) — cap at a small compile+step verification so the JSON
-        # artifact still lands in minutes.  Explicitly-passed smaller
-        # flags are respected (caps, not overrides); the metric name
-        # embeds the derated shape.
-        args.image_size = min(args.image_size, 64)
-        # keep the cap a multiple of --data-parallel so the divisibility
-        # check below can't kill the fallback path (e.g. dp=6 → cap 6, not 8)
-        cap = max(8, args.data_parallel)
-        if args.data_parallel > 1:
-            cap -= cap % args.data_parallel
-        args.batch_size = min(args.batch_size, cap)
-        args.scan_chunk = min(args.scan_chunk, 2)
-        args.steps = min(args.steps, 2)
-        args.warmup = min(args.warmup, 2)
-        args.skip_e2e = True
 
     backend_note = None
     mesh = None
@@ -380,7 +388,7 @@ def main():
             from __graft_entry__ import _force_cpu_devices
 
             _force_cpu_devices(args.data_parallel)
-            _derate_to_cpu_verification()
+            _derate_args_for_cpu(args)
     elif real_devices == 0:
         from __graft_entry__ import _force_cpu_devices
 
@@ -388,7 +396,7 @@ def main():
         backend_note = "cpu-fallback (default backend unavailable)"
         print("[BENCH] default backend unavailable/timed out; falling back "
               "to CPU — throughput below is NOT a chip number", file=sys.stderr)
-        _derate_to_cpu_verification()
+        _derate_args_for_cpu(args)
 
     import jax
     import jax.numpy as jnp

@@ -115,3 +115,41 @@ def test_bench_data_parallel_cpu():
     assert d["backend"] == "cpu"
     assert d["value"] > 0
     assert d["metric"].startswith("train_images_per_sec_dp8_")
+
+
+def test_parse_device_count_tolerates_banners():
+    from bench import _parse_device_count
+
+    assert _parse_device_count("1") == 1
+    assert _parse_device_count("some warning\nanother line\n8\n") == 8
+    # trailing banner AFTER the count: last parseable int wins
+    assert _parse_device_count("4\nWARNING: deprecated flag\n") == 4
+    assert _parse_device_count("") == 0
+    assert _parse_device_count("UNAVAILABLE: relay down\n") == 0
+
+
+def test_derate_keeps_batch_divisible_by_data_parallel():
+    """Regression: dp=6 used to derate batch to 8, tripping the
+    --batch-size divisibility check and killing the outage-fallback path
+    whose whole purpose is to still emit a parseable BENCH line."""
+    import argparse
+
+    from bench import _derate_args_for_cpu
+
+    def mk(dp, bs=32):
+        return argparse.Namespace(
+            image_size=128, batch_size=bs, scan_chunk=192, steps=384,
+            warmup=192, skip_e2e=False, data_parallel=dp)
+
+    for dp in (0, 1, 2, 3, 5, 6, 7, 8):
+        a = mk(dp, bs=24 if dp == 6 else 32)
+        _derate_args_for_cpu(a)
+        assert a.image_size <= 64 and a.skip_e2e
+        assert a.batch_size >= max(1, dp)
+        if dp > 1:
+            assert a.batch_size % dp == 0, (dp, a.batch_size)
+    # explicitly-smaller user flags are caps, not overridden upward
+    small = mk(0, bs=4)
+    small.scan_chunk = 1
+    _derate_args_for_cpu(small)
+    assert small.batch_size == 4 and small.scan_chunk == 1
