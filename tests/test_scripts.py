@@ -230,3 +230,19 @@ def test_generate_umap_and_grid_cli(demo_env, monkeypatch):
     grid = os.path.join(cfg.paths.figures_dir, "traversal_grid.png")
     assert os.path.exists(gif) and os.path.exists(grid)
     assert Image.open(gif).n_frames == 3
+
+
+def test_xla_flag_sweep_cli(demo_config_factory, monkeypatch, capsys):
+    """scripts/xla_flag_sweep.py: lower-once/compile-per-variant harness runs
+    on CPU with a custom candidate list and reports numeric ms/step
+    (DESIGN.md §3.0.4 — the hardware sweep that measured no-headroom)."""
+    path = demo_config_factory()
+    mod = importlib.import_module("xla_flag_sweep")
+    monkeypatch.setattr(sys, "argv", [
+        "xla_flag_sweep.py", "--config", path, "--steps", "2",
+        "--chunks", "1", "--reps", "1",
+        "--options-json", '[["baseline", {}]]'])
+    mod.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    results = json.loads(out[-1])
+    assert isinstance(results["baseline"], float) and results["baseline"] > 0
