@@ -721,8 +721,8 @@ def train(resume: str = "none", mesh=None):
             while i < n_steps:
                 if n_steps - i >= K:
                     chunk = all_batches[i : i + K]
-                    idx_kb = np.stack([c[0] for c in chunk])
-                    mask_kb = np.stack([c[1] for c in chunk])
+                    idx_np = np.stack([c[0] for c in chunk])
+                    idx_kb, mask_kb = idx_np, np.stack([c[1] for c in chunk])
                     if mesh is not None:
                         idx_kb = jax.device_put(idx_kb, chunk_sh)
                         mask_kb = jax.device_put(mask_kb, chunk_sh)
@@ -738,8 +738,15 @@ def train(resume: str = "none", mesh=None):
                                           jnp.float32)
                         for name in sched_list[0]
                     }
-                    feed = (train_dev.batch(np.asarray(idx_kb))
-                            if train_dev.host_feed else train_dev.images)
+                    if train_dev.host_feed:
+                        # host-streamed payload: under a mesh each device
+                        # must receive only its batch shard (P(None, 'data')
+                        # over the (K, B, H, W, C) stack), not the full copy
+                        feed = train_dev.batch(idx_np)
+                        if mesh is not None:
+                            feed = jax.device_put(feed, chunk_sh)
+                    else:
+                        feed = train_dev.images
                     state, mk = multi_step(state, feed, idx_kb,
                                            mask_kb, keys_k, sched_k)
                     if metric_names is None:
@@ -758,7 +765,8 @@ def train(resume: str = "none", mesh=None):
                     i += K
                     profiler.after_step(K)
                 else:
-                    idx, mask = all_batches[i]
+                    idx_np, mask = all_batches[i]
+                    idx = idx_np
                     if mesh is not None:
                         from ..parallel.mesh import shard_batch_indices
 
@@ -766,8 +774,14 @@ def train(resume: str = "none", mesh=None):
                     vals, lr_now = sched_for(total_steps)
                     sched = {k: jnp.float32(v) for k, v in vals.items()}
                     key = jax.random.fold_in(root_key, total_steps + 1)
-                    feed = (train_dev.batch(np.asarray(idx))
-                            if train_dev.host_feed else train_dev.images)
+                    if train_dev.host_feed:
+                        feed = train_dev.batch(idx_np)
+                        if mesh is not None:
+                            from ..parallel.mesh import batch_sharding
+
+                            feed = jax.device_put(feed, batch_sharding(mesh))
+                    else:
+                        feed = train_dev.images
                     state, m = train_step(state, feed, idx, mask, key, sched)
                     for k in running_keys:
                         running[k] = running[k] + m[k]
@@ -828,8 +842,12 @@ def train(resume: str = "none", mesh=None):
                     idx_kb = idx_all[s : s + kv]
                     mask_kb = mask_all[s : s + kv]
                     keys_k = keys_all[s : s + kv]
-                    feed = (test_dev.batch(idx_kb) if test_dev.host_feed
-                            else test_dev.images)
+                    if test_dev.host_feed:
+                        feed = test_dev.batch(idx_kb)
+                        if mesh is not None:
+                            feed = jax.device_put(feed, chunk_sh)
+                    else:
+                        feed = test_dev.images
                     if mesh is not None:
                         idx_kb = jax.device_put(idx_kb, chunk_sh)
                         mask_kb = jax.device_put(mask_kb, chunk_sh)

@@ -89,3 +89,35 @@ def test_host_feed_K_derate_matches(demo_env):
                jax.tree_util.tree_leaves(state_derated.params)]
     for a, b in zip(full, derated):
         np.testing.assert_array_equal(a, b)
+
+
+def test_host_feed_on_mesh_matches_device_feed_on_mesh(demo_env):
+    """Host-streamed payloads sharded over the data axis (P(None, 'data'))
+    train identically to the device-resident path under the same 8-device
+    mesh — the placement differs, the math must not."""
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_env
+    raw = yaml.safe_load(open(cfg_path))
+    raw["training"].update(batch_size=8, scan_chunk_steps=2)
+    raw["debug"].update(epochs=1, max_train_batches=3, max_val_batches=2)
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_dev = train(mesh=data_parallel_mesh(8))
+    dev_leaves = [np.asarray(x) for x in
+                  jax.tree_util.tree_leaves(state_dev.params)]
+
+    raw["training"]["max_device_dataset_mb"] = 0  # force host streaming
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(raw, f)
+    reset_config_cache()
+    get_config(cfg_path)
+    state_host = train(mesh=data_parallel_mesh(8))
+    host_leaves = [np.asarray(x) for x in
+                   jax.tree_util.tree_leaves(state_host.params)]
+
+    for a, b in zip(dev_leaves, host_leaves):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
