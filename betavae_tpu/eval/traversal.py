@@ -1,19 +1,20 @@
-"""Latent traversals: single-dim sweeps and tumor-class direction sweeps.
+"""Latent traversals: per-dimension sweeps + class-direction sweeps.
 
 Capability parity with reference ``src/evaluation/traversal.py``:
 
-- :func:`latent_traversal` — per-dim set-to-value sweeps of the first image's
-  μ over ``linspace(-span, span, steps)`` → ``traversal_dim{d}.png``; default
-  dims from ``inference.traversal_latent_indices`` else the first
-  ``min(latent_dim, 4)`` (ref ``traversal.py:12-33``),
-- :func:`run_traversals` — class directions loaded from
-  ``latent_usage.csv``'s ``logreg_weight_*`` columns when present, else a
-  fresh logistic regression on the full test latents (ref ``:35-80``);
-  tumor-class sweeps ``μ + v·dir`` → ``traversal_tumor_{cls}.png``, skipping
-  classes containing "notumor" (ref ``:94-114``).
+- :func:`latent_traversal` (ref ``:12-33``): the first image's μ is swept
+  one dimension at a time over ``linspace(-span, span, steps)``; dims
+  default to ``inference.traversal_latent_indices``, else the first
+  ``min(latent_dim, 4)``.  One PNG row per dim: ``traversal_dim{d}.png``.
+- :func:`run_traversals` (ref ``:35-114``): tumor-class directions come
+  from ``latent_usage.csv``'s ``logreg_weight_*`` columns when the analysis
+  CLI has produced them (the artifact-dataflow contract, SURVEY.md §1),
+  otherwise from a freshly fit logistic regression over the full test
+  latents; sweeps ``μ + v·dir`` → ``traversal_tumor_{cls}.png``, with
+  classes containing "notumor" excluded (ref ``:94-114``).
 
-TPU-first: all step decodes for one sweep are batched into a single decode
-call (the reference decodes one step at a time).
+TPU-first: a whole sweep decodes as ONE batched call — (steps, D) latents
+in, (steps, H, W, C) frames out — where the reference decodes per step.
 """
 
 from __future__ import annotations
@@ -28,101 +29,125 @@ from ..config import get_config
 from ..io.artifacts import save_image_grid
 
 
-def _decode_sweep(model, variables, zs: np.ndarray):
-    """Batched decode of (steps, D) latents → (steps, H, W, C)."""
-    return np.asarray(model.decode(variables, zs))
+def _render_sweep(model, variables, zs: np.ndarray, png_path: str,
+                  steps: int) -> None:
+    """Decode a (steps, D) latent stack in one call and save the strip."""
+    frames = np.asarray(model.decode(variables, zs))
+    save_image_grid(frames, png_path, nrow=steps, normalize=True)
+
+
+def _default_dims(model) -> list:
+    cfg = get_config()
+    configured = list(cfg.inference.traversal_latent_indices or [])
+    return configured or list(range(min(model.latent_dim, 4)))
 
 
 def latent_traversal(model, variables, images, out_dir, indices=None,
                      steps=None, span=3.0):
     cfg = get_config()
-    steps = steps if steps is not None else int(cfg.evaluation.traversal_steps)
-    if indices is None:
-        indices = list(cfg.inference.traversal_latent_indices or [])
-        if not indices:
-            indices = list(range(min(model.latent_dim, 4)))
-    x = np.asarray(images, np.float32)
-    mu, logvar = model.encode(variables, x)
-    base = np.asarray(mu)[:1]
-    vals = np.linspace(-span, span, steps)
+    if steps is None:
+        steps = int(cfg.evaluation.traversal_steps)
+    dims = _default_dims(model) if indices is None else indices
+    mu, _ = model.encode(variables, np.asarray(images, np.float32))
+    anchor = np.asarray(mu)[:1]
+    sweep_vals = np.linspace(-span, span, steps)
     os.makedirs(out_dir, exist_ok=True)
-    for dim in indices:
-        zs = np.repeat(base, steps, axis=0)
-        zs[:, dim] = vals
-        grid = _decode_sweep(model, variables, zs)
-        save_image_grid(grid, os.path.join(out_dir, f"traversal_dim{dim}.png"),
-                        nrow=steps, normalize=True)
+    for dim in dims:
+        zs = np.repeat(anchor, steps, axis=0)
+        zs[:, dim] = sweep_vals
+        _render_sweep(model, variables, zs,
+                      os.path.join(out_dir, f"traversal_dim{dim}.png"), steps)
+
+
+def _unit(vec: np.ndarray):
+    norm = np.linalg.norm(vec)
+    return vec / norm if norm > 0 else None
+
+
+def _directions_from_usage_csv(tables_dir) -> dict:
+    """Read per-class logreg directions back from ``latent_usage.csv``.
+
+    The ``logreg_weight_maxabs`` summary column this framework adds to the
+    CSV is not a class direction and is skipped (the reference, whose CSV
+    lacks that column, sweeps every ``logreg_weight_*`` column)."""
+    usage_path = Path(tables_dir) / "latent_usage.csv"
+    if not usage_path.exists():
+        return {}
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(usage_path)
+        out = {}
+        for col in df.columns:
+            if (not col.startswith("logreg_weight_")
+                    or col == "logreg_weight_maxabs"):
+                continue
+            u = _unit(df[col].to_numpy(dtype=np.float32))
+            if u is not None:
+                out[col[len("logreg_weight_"):]] = u
+        return out
+    except Exception:
+        return {}
+
+
+def _directions_from_fresh_probe(model, variables, test_ds) -> dict:
+    """Fallback: fit a logistic regression on the test latents now."""
+    from .recon_metrics import extract_latents
+
+    L, y, _ = extract_latents(model, variables, test_ds)
+    if len(y) < 2 or len(np.unique(y)) < 2:
+        return {}
+    try:
+        from sklearn.exceptions import ConvergenceWarning
+        from sklearn.linear_model import LogisticRegression
+
+        with warnings.catch_warnings():
+            warnings.filterwarnings("ignore", category=ConvergenceWarning)
+            clf = LogisticRegression(max_iter=2000)
+            clf.fit(L, y)
+        coef = np.atleast_2d(clf.coef_)
+        out = {}
+        for row, cls in zip(coef, clf.classes_):
+            u = _unit(row)
+            if u is not None:
+                name = test_ds.idx_to_class.get(cls, f"class{cls}")
+                out[name] = u.astype(np.float32)
+        return out
+    except Exception:
+        return {}
 
 
 def run_traversals(model, variables, test_ds, indices=None, steps=None,
                    span=3.0, images_override=None):
     cfg = get_config()
     out_dir = cfg.paths.figures_dir
-    class_dirs = {}
-    usage_path = Path(cfg.paths.tables_dir) / "latent_usage.csv"
-    if usage_path.exists():
-        try:
-            import pandas as pd
 
-            df = pd.read_csv(usage_path)
-            for col in df.columns:
-                if col.startswith("logreg_weight_") and col != "logreg_weight_maxabs":
-                    name = col.replace("logreg_weight_", "")
-                    w = df[col].to_numpy(dtype=np.float32)
-                    if np.linalg.norm(w) > 0:
-                        class_dirs[name] = w / np.linalg.norm(w)
-        except Exception:
-            class_dirs = {}
-
+    class_dirs = _directions_from_usage_csv(cfg.paths.tables_dir)
     if not class_dirs:
-        from .recon_metrics import extract_latents
-
-        idx_to_class = test_ds.idx_to_class
-        L, y, _ = extract_latents(model, variables, test_ds)
-        if len(y) >= 2 and len(np.unique(y)) >= 2:
-            try:
-                from sklearn.exceptions import ConvergenceWarning
-                from sklearn.linear_model import LogisticRegression
-
-                with warnings.catch_warnings():
-                    warnings.filterwarnings("ignore",
-                                            category=ConvergenceWarning)
-                    clf = LogisticRegression(max_iter=2000)
-                    clf.fit(L, y)
-                coef = clf.coef_
-                if coef.ndim == 1:
-                    coef = coef[None, :]
-                for cls_idx, row in enumerate(coef):
-                    name = idx_to_class.get(clf.classes_[cls_idx],
-                                            f"class{clf.classes_[cls_idx]}")
-                    norm = np.linalg.norm(row)
-                    if norm > 0:
-                        class_dirs[name] = (row / norm).astype(np.float32)
-            except Exception:
-                class_dirs = {}
+        class_dirs = _directions_from_fresh_probe(model, variables, test_ds)
 
     if images_override is not None:
         imgs = np.asarray(images_override, np.float32)
     elif len(test_ds) > 0:
-        bs = int(cfg.training.batch_size)
-        imgs = test_ds.images[:bs].astype(np.float32) / 255.0
+        head = test_ds.images[: int(cfg.training.batch_size)]
+        imgs = head.astype(np.float32) / 255.0
     else:
         return
 
     latent_traversal(model, variables, imgs, out_dir, indices=indices,
                      steps=steps, span=span)
 
-    tumor_dirs = {k: v for k, v in class_dirs.items()
-                  if "notumor" not in k.lower()}
-    if tumor_dirs:
-        steps_n = steps if steps is not None else int(
-            cfg.evaluation.traversal_steps)
-        mu, _ = model.encode(variables, imgs)
-        base = np.asarray(mu)[:1]
-        vals = np.linspace(-span, span, steps_n)
-        for cls_name, dir_vec in tumor_dirs.items():
-            zs = base + vals[:, None] * dir_vec[None, :]
-            grid = _decode_sweep(model, variables, zs)
-            save_image_grid(
-                grid, os.path.join(out_dir, f"traversal_tumor_{cls_name}.png"),
-                nrow=steps_n, normalize=True)
+    tumor_dirs = {name: d for name, d in class_dirs.items()
+                  if "notumor" not in name.lower()}
+    if not tumor_dirs:
+        return
+    if steps is None:
+        steps = int(cfg.evaluation.traversal_steps)
+    mu, _ = model.encode(variables, imgs)
+    anchor = np.asarray(mu)[:1]
+    sweep_vals = np.linspace(-span, span, steps)
+    for cls_name, direction in tumor_dirs.items():
+        zs = anchor + sweep_vals[:, None] * direction[None, :]
+        _render_sweep(
+            model, variables, zs,
+            os.path.join(out_dir, f"traversal_tumor_{cls_name}.png"), steps)

@@ -1,9 +1,10 @@
-"""Save a preview grid of the first validation batch (seed-determinism check).
+"""Dump the first validation batch so seeded ordering can be diffed.
 
-Capability parity with reference ``scripts/preview_val_batch.py:42-58``:
-outputs ``val_preview_seed{seed}.png`` + ``..._paths.txt`` listing image
-paths and class names, so the deterministic seeded val ordering can be
-verified across runs.
+Artifact parity with reference ``scripts/preview_val_batch.py:42-58``: a
+``val_preview_seed{seed}.png`` grid plus a ``..._paths.txt`` manifest with
+one ``{i}: class=... path=...`` line per sample — run it twice (or against
+a reference run) and diff the manifests to prove the val order is a pure
+function of ``data.seed``.
 """
 import argparse
 import os
@@ -15,6 +16,13 @@ import numpy as np
 from betavae_tpu.config import get_config
 from betavae_tpu.data.dataset import build_datasets
 from betavae_tpu.io.artifacts import ensure_dirs, save_image_grid
+
+
+def _write_manifest(path: Path, ds, count: int) -> None:
+    lines = (f"{i}: class={ds.class_names[i]} path={ds.paths[i]}\n"
+             for i in range(count))
+    with open(path, "w", encoding="utf-8") as f:
+        f.writelines(lines)
 
 
 def main():
@@ -29,21 +37,18 @@ def main():
     cfg = get_config()
     ensure_dirs()
     _, test_ds = build_datasets()
-    bs = int(cfg.training.batch_size)
-    imgs = test_ds.images[:bs].astype(np.float32) / 255.0
 
+    batch = test_ds.images[: int(cfg.training.batch_size)]
+    imgs = batch.astype(np.float32) / 255.0
     out_dir = Path(cfg.paths.figures_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    seed = cfg.data.seed
-    grid_path = out_dir / f"val_preview_seed{seed}.png"
+
+    stem = f"val_preview_seed{cfg.data.seed}"
+    grid_path = out_dir / f"{stem}.png"
     save_image_grid(imgs, str(grid_path), nrow=min(len(imgs), 8),
                     normalize=True)
-
-    meta_path = out_dir / f"val_preview_seed{seed}_paths.txt"
-    with open(meta_path, "w", encoding="utf-8") as f:
-        for i in range(imgs.shape[0]):
-            f.write(f"{i}: class={test_ds.class_names[i]} "
-                    f"path={test_ds.paths[i]}\n")
+    meta_path = out_dir / f"{stem}_paths.txt"
+    _write_manifest(meta_path, test_ds, imgs.shape[0])
 
     print(f"Val-batch grid: {grid_path}")
     print(f"Val-batch paths/classes: {meta_path}")
