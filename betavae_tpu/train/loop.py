@@ -715,56 +715,89 @@ def train(resume: str = "none", mesh=None):
                 K = min(K, host_feed_chunk_limit(
                     batch_size, train_ds.images.shape[1:],
                     float(get(cfg.training, "host_feed_chunk_mb", 8.0))))
+            def prep_chunk(start_i: int, step_base: int):
+                """Host-side inputs for the chunk at batch ``start_i`` whose
+                first step is ``step_base`` — pure in both, so it runs while
+                the device executes the PREVIOUS chunk (pipelining below)."""
+                chunk = all_batches[start_i : start_i + K]
+                idx_np = np.stack([c[0] for c in chunk])
+                idx_kb, mask_kb = idx_np, np.stack([c[1] for c in chunk])
+                if mesh is not None:
+                    idx_kb = jax.device_put(idx_kb, chunk_sh)
+                    mask_kb = jax.device_put(mask_kb, chunk_sh)
+                # vmapped fold_in: bit-identical to the per-step host
+                # loop, but ONE dispatch instead of K through the relay
+                keys_k = fold_keys(
+                    root_key,
+                    np.arange(step_base + 1, step_base + 1 + K,
+                              dtype=np.uint32))
+                sched_list = [sched_for(step_base + j)[0] for j in range(K)]
+                sched_k = {
+                    name: jnp.asarray([s[name] for s in sched_list],
+                                      jnp.float32)
+                    for name in sched_list[0]
+                }
+                if train_dev.host_feed:
+                    # host-streamed payload: under a mesh each device
+                    # must receive only its batch shard (P(None, 'data')
+                    # over the (K, B, H, W, C) stack), not the full copy;
+                    # the explicit device_put starts the H2D transfer NOW,
+                    # overlapped with the in-flight chunk's compute
+                    feed = train_dev.batch(idx_np)
+                    feed = jax.device_put(
+                        feed, chunk_sh) if mesh is not None else \
+                        jax.device_put(feed)
+                else:
+                    feed = train_dev.images
+                return feed, idx_kb, mask_kb, keys_k, sched_k, sched_list
+
+            pending = None  # (stacked metric handles, sched_list) in flight
+
+            def drain_chunk():
+                """Pull + log the in-flight chunk's metrics (blocks until its
+                device execution finishes)."""
+                nonlocal pending, metric_names, denom, total_steps, \
+                    lr_now, last
+                if pending is None:
+                    return
+                mk, sched_list = pending
+                pending = None
+                if metric_names is None:
+                    metric_names = tuple(sorted(mk))
+                stacked = np.asarray(stack_metrics(mk, metric_names))
+                vals = {k: stacked[j] for j, k in enumerate(metric_names)}
+                for j in range(K):
+                    for k in running_keys:
+                        running[k] = running[k] + float(vals[k][j])
+                    last = {k: vals[k][j] for k in vals}
+                    denom += 1
+                    total_steps += 1
+                    lr_now = float(sched_list[j]["lr"])
+                    if total_steps % log_every == 0:
+                        emit_log(lr_now)
+
             i = 0
             lr_now = lr
+            dispatched_steps = total_steps  # leads total_steps by ≤ one chunk
             profiler.maybe_start()
             while i < n_steps:
                 if n_steps - i >= K:
-                    chunk = all_batches[i : i + K]
-                    idx_np = np.stack([c[0] for c in chunk])
-                    idx_kb, mask_kb = idx_np, np.stack([c[1] for c in chunk])
-                    if mesh is not None:
-                        idx_kb = jax.device_put(idx_kb, chunk_sh)
-                        mask_kb = jax.device_put(mask_kb, chunk_sh)
-                    # vmapped fold_in: bit-identical to the per-step host
-                    # loop, but ONE dispatch instead of K through the relay
-                    keys_k = fold_keys(
-                        root_key,
-                        np.arange(total_steps + 1, total_steps + 1 + K,
-                                  dtype=np.uint32))
-                    sched_list = [sched_for(total_steps + j)[0] for j in range(K)]
-                    sched_k = {
-                        name: jnp.asarray([s[name] for s in sched_list],
-                                          jnp.float32)
-                        for name in sched_list[0]
-                    }
-                    if train_dev.host_feed:
-                        # host-streamed payload: under a mesh each device
-                        # must receive only its batch shard (P(None, 'data')
-                        # over the (K, B, H, W, C) stack), not the full copy
-                        feed = train_dev.batch(idx_np)
-                        if mesh is not None:
-                            feed = jax.device_put(feed, chunk_sh)
-                    else:
-                        feed = train_dev.images
-                    state, mk = multi_step(state, feed, idx_kb,
-                                           mask_kb, keys_k, sched_k)
-                    if metric_names is None:
-                        metric_names = tuple(sorted(mk))
-                    stacked = np.asarray(stack_metrics(mk, metric_names))
-                    mk = {k: stacked[i] for i, k in enumerate(metric_names)}
-                    for j in range(K):
-                        for k in running_keys:
-                            running[k] = running[k] + float(mk[k][j])
-                        last = {k: mk[k][j] for k in mk}
-                        denom += 1
-                        total_steps += 1
-                        lr_now = float(sched_list[j]["lr"])
-                        if total_steps % log_every == 0:
-                            emit_log(lr_now)
+                    # software-pipelined: prep chunk c (host gather / H2D /
+                    # key+schedule build) runs while the device executes
+                    # chunk c-1; dispatch c BEFORE pulling c-1's metrics so
+                    # the device never idles on the host's pull+log turn.
+                    # Bit-identical to the serial order (same inputs/keys;
+                    # logs still emit in step order) — one chunk of metric
+                    # latency is the only observable difference.
+                    inputs = prep_chunk(i, dispatched_steps)
+                    state, mk = multi_step(state, *inputs[:5])
+                    drain_chunk()          # previous chunk, if any
+                    pending = (mk, inputs[5])
+                    dispatched_steps += K
                     i += K
                     profiler.after_step(K)
                 else:
+                    drain_chunk()
                     idx_np, mask = all_batches[i]
                     idx = idx_np
                     if mesh is not None:
@@ -792,6 +825,7 @@ def train(resume: str = "none", mesh=None):
                         emit_log(lr_now)
                     i += 1
                     profiler.after_step(1)
+            drain_chunk()  # last in-flight chunk (epoch wall includes it)
             lr = lr_now
             profiler.stop()
             epoch_seconds = time.perf_counter() - epoch_t0
