@@ -295,6 +295,36 @@ def _last_chip_bench():
     return None
 
 
+def _headline_fields(img_per_sec: float, e2e, vs_e2e,
+                     image_size: int, batch_size: int) -> dict:
+    """Choose the JSON line's headline metric.
+
+    The headline is the like-for-like quantity: end-to-end wall-clock img/s
+    over whole epochs incl. val/checkpoints/panels/probes — exactly what the
+    reference's 61 img/s baseline counts (its log timestamps span the whole
+    run, SURVEY §6). Steady-state rides along as a secondary key so the
+    kernel-level number stays tracked. Falls back to a steady-state headline
+    only when e2e was skipped or failed (``e2e`` non-numeric — e.g. the CPU
+    derate path, which cannot measure a meaningful e2e)."""
+    if isinstance(e2e, (int, float)):
+        headline = {
+            "metric": f"e2e_images_per_sec_per_chip_{image_size}px_"
+                      f"bs{batch_size}",
+            "value": e2e,
+            "unit": "images/sec",
+            "vs_baseline": vs_e2e,
+        }
+    else:
+        headline = {
+            "metric": f"train_images_per_sec_per_chip_{image_size}px_"
+                      f"bs{batch_size}",
+            "value": round(img_per_sec, 2),
+            "unit": "images/sec",
+            "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        }
+    return headline
+
+
 def _parse_device_count(stdout: str) -> int:
     """Last line of the probe subprocess's stdout that parses as an int.
 
@@ -587,11 +617,11 @@ def main():
         pallas_status = f"FAIL: {e}"
 
     print(json.dumps({
-        "metric": (f"train_images_per_sec_per_chip_{args.image_size}px_"
-                   f"bs{args.batch_size}"),
-        "value": round(img_per_sec, 2),
-        "unit": "images/sec",
-        "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        **_headline_fields(img_per_sec, e2e, vs_e2e,
+                           args.image_size, args.batch_size),
+        "steady_state_images_per_sec": round(img_per_sec, 2),
+        "vs_baseline_steady_state": round(
+            img_per_sec / BASELINE_IMG_PER_SEC, 3),
         "e2e_images_per_sec": e2e,
         "vs_baseline_e2e": vs_e2e,
         "e2e_epoch_breakdown": e2e_breakdown,

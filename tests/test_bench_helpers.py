@@ -153,3 +153,20 @@ def test_derate_keeps_batch_divisible_by_data_parallel():
     small.scan_chunk = 1
     _derate_args_for_cpu(small)
     assert small.batch_size == 4 and small.scan_chunk == 1
+
+
+def test_headline_prefers_e2e_and_falls_back():
+    """The headline metric must be the like-for-like e2e number whenever one
+    was measured (VERDICT r2: steady-state-vs-baseline is apples-to-oranges),
+    and must fall back to steady-state when e2e was skipped or failed."""
+    from bench import BASELINE_IMG_PER_SEC, _headline_fields
+
+    h = _headline_fields(4320.0, 3600.0, 59.016, 128, 32)
+    assert h["metric"] == "e2e_images_per_sec_per_chip_128px_bs32"
+    assert h["value"] == 3600.0 and h["vs_baseline"] == 59.016
+
+    for e2e, vs in (("skipped", "skipped"), ("FAIL: boom", "FAIL")):
+        h = _headline_fields(4320.0, e2e, vs, 128, 32)
+        assert h["metric"] == "train_images_per_sec_per_chip_128px_bs32"
+        assert h["value"] == 4320.0
+        assert h["vs_baseline"] == round(4320.0 / BASELINE_IMG_PER_SEC, 3)
