@@ -375,7 +375,10 @@ def main():
                         help="skip the end-to-end epochs measurement")
     # 6 epochs = 5 steady ones after the compile-carrying first; the longer
     # window damps relay jitter on the per-epoch val dispatch
-    parser.add_argument("--e2e-epochs", type=int, default=6)
+    # 9 steady epochs (first epoch carries cold compiles and is dropped):
+    # at ~1.6 s/epoch the wider window is nearly free and roughly halves
+    # the run-to-run jitter of the headline vs the previous 6-epoch window
+    parser.add_argument("--e2e-epochs", type=int, default=10)
     parser.add_argument(
         "--data-parallel", type=int, default=0, metavar="N",
         help="run the steady-state step over an N-device data mesh "
