@@ -120,4 +120,10 @@ def test_host_feed_on_mesh_matches_device_feed_on_mesh(demo_env):
                    jax.tree_util.tree_leaves(state_host.params)]
 
     for a, b in zip(dev_leaves, host_leaves):
+        # tolerance-equal, not bit-identical (unlike the K-derate test
+        # above, which re-runs the SAME compiled program): host-feed and
+        # device-feed are different XLA programs — one takes the (K,B,...)
+        # payload as an argument, the other gathers from the resident
+        # array inside the jit — and XLA may fuse/order the conv and
+        # reduction arithmetic differently between the two lowerings.
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)

