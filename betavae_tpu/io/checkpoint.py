@@ -298,10 +298,23 @@ def load_sharded_checkpoint(base_path: str, num_shards: int | None = None) -> di
 
 
 def _maybe_convert_torch_payload(payload: dict) -> dict:
-    """Translate a reference torch ``model_state`` to flax naming in place."""
-    from .torch_compat import convert_model_state, looks_like_torch_state
+    """Translate a reference torch ``model_state`` to flax naming in place.
+
+    A torch Adam ``optim_state`` (index-keyed moments) is converted to
+    flax-named moment trees under ``torch_adam_moments`` — the train loop
+    grafts them onto its fresh optax state at resume (best-effort; a failed
+    conversion warns and drops them).  The raw index-keyed section is
+    removed either way: its keys are meaningless to ``unflatten_like``.
+    """
+    from .torch_compat import (convert_adam_moments, convert_model_state,
+                               looks_like_torch_state)
 
     state = payload.get("model_state")
     if state and looks_like_torch_state(state):
+        optim = payload.pop("optim_state", None)
+        if optim:
+            moments = convert_adam_moments(optim, state)
+            if moments is not None:
+                payload["torch_adam_moments"] = moments
         payload["model_state"] = convert_model_state(state)
     return payload

@@ -53,3 +53,46 @@ def build_optimizer(cfg=None) -> optax.GradientTransformation:
         return optax.chain(*chain, optax.scale_by_learning_rate(learning_rate))
 
     return optax.inject_hyperparams(make)(learning_rate=lr)
+
+
+def graft_adam_moments(opt_state, moments: dict):
+    """Graft imported Adam moments onto a freshly-initialized optax state.
+
+    ``moments``: ``{"count": int, "mu": {<param path>: arr}, "nu": {...}}``
+    from :func:`betavae_tpu.io.torch_compat.convert_adam_moments` (reference
+    ``--resume`` counterpart: ``src/training/train.py:266-280`` restoring
+    ``optimizer.load_state_dict``).  Every ``ScaleByAdamState`` node in the
+    (possibly nested) chain gets its ``mu``/``nu`` trees and step count
+    replaced; shape/path mismatches raise via ``unflatten_like``.  If the
+    configured optimizer has no Adam state (e.g. sgd), warns and returns
+    the state unchanged — a fresh optimizer, the pre-import behavior.
+    """
+    import warnings
+
+    import jax.numpy as jnp
+
+    from ..io.checkpoint import unflatten_like
+
+    grafted = [0]
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            grafted[0] += 1
+            return node._replace(
+                count=jnp.asarray(moments["count"],
+                                  jnp.asarray(node.count).dtype),
+                mu=unflatten_like(node.mu, moments["mu"]),
+                nu=unflatten_like(node.nu, moments["nu"]))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(walk(v) for v in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    new_state = walk(opt_state)
+    if not grafted[0]:
+        warnings.warn("checkpoint carries Adam moments but the configured "
+                      "optimizer has no Adam state — resuming with a fresh "
+                      "optimizer")
+        return opt_state
+    return new_state
