@@ -31,6 +31,25 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest  # noqa: E402
 
+# the fast lane (VERDICT r3 #5): unit/golden modules whose tests avoid full
+# train() runs — `pytest -m fast` finishes in minutes on the 1-core host.
+# Everything else (end-to-end/integration, anything that trains) is `slow`.
+_FAST_MODULES = {
+    "test_augment", "test_bench_helpers", "test_checkpoint", "test_config",
+    "test_data", "test_golden_parity", "test_logs_module", "test_losses_ops",
+    "test_lpips_convert", "test_model", "test_native", "test_pallas_elbo",
+    "test_pallas_gn", "test_pallas_head", "test_probe_alignment",
+    "test_profiling_utils", "test_reference_artifacts", "test_schedules",
+    "test_trace", "test_upsample", "test_utils_misc",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        name = item.module.__name__.rsplit(".", 1)[-1]
+        item.add_marker(pytest.mark.fast if name in _FAST_MODULES
+                        else pytest.mark.slow)
+
 
 @pytest.fixture(autouse=True)
 def _fresh_config():
