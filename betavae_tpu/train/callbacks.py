@@ -30,6 +30,17 @@ class EarlyStopping:
         self.should_stop = False
 
     def update(self, value: float) -> None:
+        import math
+
+        if not math.isfinite(value):
+            # a non-finite monitor must never become `best` — `NaN < x` is
+            # False for every x, so it would freeze the tracker and burn
+            # patience silently.  Count it as a bad epoch instead (the train
+            # loop's anomaly guard raises before we get here when enabled).
+            self.num_bad += 1
+            if self.num_bad >= self.patience:
+                self.should_stop = True
+            return
         if self.best is None:
             self.best = value
             return
@@ -215,6 +226,12 @@ class CheckpointManager:
 
     def save_best(self, state, epoch: int, total_steps: int, extra: dict,
                   monitor_value: float):
+        import math
+
+        if not math.isfinite(monitor_value):
+            # never ingest a non-finite monitor: it would become best_value
+            # on the first epoch and nothing ever compares better than NaN
+            return None
         if self.best_value is None or monitor_value < self.best_value:
             self.best_value = monitor_value
             path = os.path.join(self.dir, f"{self.run_id}_best.pt")
