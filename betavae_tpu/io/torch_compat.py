@@ -39,9 +39,16 @@ The WRITE side (round 3) is the exact inverse:
   reference's exact layout (sorted keys round-robin, metadata duplicated
   per shard, ``src/utils/brain_tumor_utils/io.py:14-39``), so a model
   trained HERE runs through the reference's own eval/inference toolchain
-  unchanged.  The optax optimizer state has no torch equivalent and is
-  omitted (an ``exported_by`` marker is written instead); the reference's
-  ``--resume`` is the one surface that can't consume an export.
+  unchanged;
+- :func:`export_adam_optim_state` (round 5, VERDICT r4 #4) — the optax
+  Adam state → a torch ``Adam.state_dict()`` payload: each ``mu``/``nu``
+  moment tensor is routed through the SAME layout conversion as its
+  parameter (the exact inverse of :func:`convert_adam_moments`), keyed by
+  the reference's ``model.parameters()`` registration order
+  (:func:`_torch_param_order`), with ``param_groups`` synthesized from the
+  optimizer hyperparameters (reference ``src/training/callbacks.py:92-102``)
+  — so the reference's ``--resume`` (``src/training/train.py:266-280``,
+  ``optimizer.load_state_dict``) continues OUR optimizer trajectory.
 """
 
 from __future__ import annotations
@@ -360,6 +367,105 @@ def convert_adam_moments(optim_flat: dict, model_state: dict):
 
 
 # ---------------------------------------------------------------------------
+# optax Adam state -> torch Adam state_dict (the exact inverse of the above)
+# ---------------------------------------------------------------------------
+
+def export_adam_optim_state(optim_flat: dict, model_state: dict, *,
+                            lr: float, weight_decay: float = 0.0):
+    """Our optax ``optim_state`` → a torch ``Adam.state_dict()`` payload.
+
+    ``optim_flat``: the checkpoint's flat optax state (e.g.
+    ``inner_state/1/mu/<flax param path>``, ``.../nu/...``, ``.../count``
+    under the ``inject_hyperparams`` wrapper); ``model_state``: the flax flat
+    ``params/...`` (+ ``batch_stats/...``) dict the moments belong to.
+
+    Returns ``{"state": {idx: {"step", "exp_avg", "exp_avg_sq"}},
+    "param_groups": [...]}`` exactly as the reference saves it
+    (``src/training/callbacks.py:70,85`` via ``optimizer.state_dict()``) and
+    its ``--resume`` restores it (``src/training/train.py:272-273``), or
+    ``None`` (with a warning) when the optax state has no Adam moments —
+    the reference then restarts its optimizer, never silently.
+
+    Correctness mirrors :func:`convert_adam_moments`: moments are
+    elementwise companions of their parameter, so re-running
+    :func:`export_model_state` with parameter values swapped for moment
+    values applies the HWIO→OIHW / dense-transpose / bottleneck-flatten
+    conversions to the moments bit-for-bit.  ``param_groups`` hyperparameters
+    match the reference's ``get_optimizer`` defaults (Adam/AdamW:
+    betas=(0.9, 0.999), eps=1e-8) with the caller's lr / weight_decay.
+    """
+    import warnings
+
+    import torch
+
+    def bail(msg):
+        warnings.warn(f"torch optimizer-state export skipped: {msg}; the "
+                      "reference's --resume will restart its optimizer")
+        return None
+
+    # locate the ScaleByAdamState subtree: a prefix with sibling count /
+    # mu/... / nu/... entries.  "mu" must be a whole path segment — param
+    # names like fc_mu also contain the letters.
+    prefixes = set()
+    for k in optim_flat:
+        segs = k.split("/")
+        prefixes.update("/".join(segs[:i]) for i, s in enumerate(segs[:-1])
+                        if s == "mu")
+    adam = None
+    for p in sorted(prefixes):
+        pre = f"{p}/" if p else ""
+        mu = {k[len(pre) + 3:]: np.asarray(v) for k, v in optim_flat.items()
+              if k.startswith(f"{pre}mu/")}
+        nu = {k[len(pre) + 3:]: np.asarray(v) for k, v in optim_flat.items()
+              if k.startswith(f"{pre}nu/")}
+        if mu and set(mu) == set(nu) and f"{pre}count" in optim_flat:
+            count = int(np.asarray(optim_flat[f"{pre}count"]).reshape(()))
+            adam = (mu, nu, count)
+            break
+    if adam is None:
+        return bail("no Adam mu/nu/count subtree in the optax state "
+                    "(SGD momentum has no torch Adam analog)")
+    mu, nu, count = adam
+
+    param_paths = {k[len("params/"):] for k in model_state
+                   if k.startswith("params/")}
+    if set(mu) != param_paths:
+        return bail("moment tree does not cover the parameter set "
+                    f"(missing {sorted(param_paths - set(mu))[:3]}, "
+                    f"extra {sorted(set(mu) - param_paths)[:3]})")
+
+    trees = {}
+    for field, tree in (("exp_avg", mu), ("exp_avg_sq", nu)):
+        swapped = dict(model_state)  # batch_stats buffers keep real values
+        for path, m in tree.items():
+            pk = f"params/{path}"
+            if m.shape != np.asarray(model_state[pk]).shape:
+                return bail(f"shape mismatch at {path}: moment {m.shape} "
+                            f"vs parameter "
+                            f"{np.asarray(model_state[pk]).shape}")
+            swapped[pk] = m
+        trees[field] = export_model_state(swapped)
+
+    order = _torch_param_order(trees["exp_avg"].keys())
+    state = {
+        i: {
+            # torch ≥2.0 stores per-param step as a float scalar tensor;
+            # older Adam.__setstate__ accepts it either way
+            "step": torch.tensor(float(count)),
+            "exp_avg": torch.from_numpy(
+                np.ascontiguousarray(trees["exp_avg"][name])),
+            "exp_avg_sq": torch.from_numpy(
+                np.ascontiguousarray(trees["exp_avg_sq"][name])),
+        }
+        for i, name in enumerate(order)
+    }
+    param_groups = [{"lr": float(lr), "betas": (0.9, 0.999), "eps": 1e-8,
+                     "weight_decay": float(weight_decay), "amsgrad": False,
+                     "maximize": False, "params": list(range(len(order)))}]
+    return {"state": state, "param_groups": param_groups}
+
+
+# ---------------------------------------------------------------------------
 # flax flat paths -> torch module names (the exact inverse of the above)
 # ---------------------------------------------------------------------------
 
@@ -464,15 +570,19 @@ def export_model_state(flat: dict) -> dict:
 
 
 def save_torch_reference_checkpoint(base_path: str, payload: dict,
-                                    num_shards: int = 2) -> list:
+                                    num_shards: int = 2,
+                                    optim_state: dict | None = None) -> list:
     """``torch.save`` ``payload`` in the reference's exact shard layout.
 
     Reference scheme (``src/utils/brain_tumor_utils/io.py:14-39``):
     ``model_state`` keys sorted then round-robin across
     ``<base>_shard{i}.pt`` files; every non-model field duplicated into
     each shard.  ``model_state`` in flax naming is exported first; metadata
-    scalars pass through.  The optax ``optim_state`` is omitted (see module
-    docstring) and an ``exported_by`` marker records provenance.
+    scalars pass through; an ``exported_by`` marker records provenance.
+    ``optim_state``, when given, must already be a torch
+    ``optimizer.state_dict()`` payload (:func:`export_adam_optim_state`) and
+    is duplicated into every shard exactly as the reference saves its own
+    (``io.py:32-35``).
     """
     import torch
 
@@ -496,6 +606,8 @@ def save_torch_reference_checkpoint(base_path: str, payload: dict,
         except (TypeError, ValueError):
             pass
     meta["exported_by"] = "betavae_tpu"
+    if optim_state is not None:
+        meta["optim_state"] = optim_state
 
     keys = sorted(tensors)
     num_shards = max(1, int(num_shards))

@@ -668,3 +668,160 @@ def test_export_loads_into_actual_reference_model(demo_config_factory,
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(recon)[..., 0],
                                recon_t.numpy()[:, 0], rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# write side: Adam optimizer-state export (VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+def _flax_state_with_moments(cfg):
+    """Init our model + optax Adam state with ``mu = 0.5·p``, ``nu = p²``.
+
+    Elementwise-from-param moments make any ordering or layout slip in the
+    export break the relation (mirror of ``_adam_optim_state`` on the read
+    side)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from betavae_tpu.io.checkpoint import flatten_pytree
+    from betavae_tpu.train.optim import build_optimizer
+
+    model, variables = _init_flax_state(cfg)
+    params = variables["params"]
+    opt_state = build_optimizer(cfg).init(params)
+
+    def walk(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return node._replace(
+                count=jnp.asarray(1234, jnp.asarray(node.count).dtype),
+                mu=jax.tree_util.tree_map(lambda p: 0.5 * p, params),
+                nu=jax.tree_util.tree_map(lambda p: p * p, params))
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*(walk(v) for v in node))
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(v) for v in node)
+        return node
+
+    return (model, flatten_pytree(variables),
+            flatten_pytree(walk(opt_state)))
+
+
+def test_export_adam_optim_state_elementwise(tiny_cfg):
+    """Exported moments must sit at the reference's param index, in torch
+    layout: exp_avg == 0.5·W and exp_avg_sq == W² for EVERY index."""
+    from betavae_tpu.io.torch_compat import (_torch_param_order,
+                                             export_adam_optim_state,
+                                             export_model_state)
+
+    _, model_flat, optim_flat = _flax_state_with_moments(tiny_cfg)
+    assert any(k.startswith("inner_state/") for k in optim_flat)
+
+    out = export_adam_optim_state(optim_flat, model_flat,
+                                  lr=2e-4, weight_decay=0.01)
+    assert out is not None
+    sd = export_model_state(model_flat)
+    order = _torch_param_order(sd.keys())
+    assert set(out["state"]) == set(range(len(order)))
+    for i, name in enumerate(order):
+        st = out["state"][i]
+        assert float(st["step"]) == 1234.0
+        np.testing.assert_allclose(st["exp_avg"].numpy(), 0.5 * sd[name],
+                                   rtol=1e-6, err_msg=f"{i}:{name}")
+        np.testing.assert_allclose(st["exp_avg_sq"].numpy(),
+                                   sd[name].astype(np.float64) ** 2,
+                                   rtol=1e-5, err_msg=f"{i}:{name}")
+    (group,) = out["param_groups"]
+    assert group["params"] == list(range(len(order)))
+    assert group["lr"] == 2e-4 and group["weight_decay"] == 0.01
+    assert group["betas"] == (0.9, 0.999) and group["eps"] == 1e-8
+
+
+def test_export_optim_state_bails_without_adam(tiny_cfg):
+    """SGD trace state has no torch-Adam analog: bail loudly, never a
+    half-converted payload."""
+    from betavae_tpu.io.torch_compat import export_adam_optim_state
+
+    _, model_flat, optim_flat = _flax_state_with_moments(tiny_cfg)
+    sgd_like = {k: v for k, v in optim_flat.items() if "/mu/" not in k}
+    with pytest.warns(UserWarning, match="optimizer-state export skipped"):
+        assert export_adam_optim_state(sgd_like, model_flat, lr=1e-3) is None
+
+
+def test_reference_resume_consumes_exported_optimizer(tmp_path,
+                                                      demo_config_factory,
+                                                      monkeypatch):
+    """The VERDICT r4 #4 'done' check: the ACTUAL reference resume path
+    (``src/training/train.py:266-280`` — its ``load_sharded_checkpoint``,
+    ``model.load_state_dict``, ``optimizer.load_state_dict`` on an optimizer
+    built by its own ``get_optimizer``) consumes our ``--include-optimizer``
+    export, its Adam state carries our moments elementwise, and one
+    ``optimizer.step()`` is driven by them."""
+    ref_src = "/root/reference/src"
+    if not os.path.isdir(ref_src):
+        pytest.skip("reference tree not available")
+    import importlib
+    import sys
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.io.torch_compat import (export_adam_optim_state,
+                                             save_torch_reference_checkpoint)
+
+    cfg_path = demo_config_factory(
+        image_size=IMG, latent_dim=LATENT, base_channels=BASE,
+        num_blocks=BLOCKS,
+        **{"model.se_reduction_ratio": RED, "model.logvar_clamp": [-10, 10]})
+    cfg = get_config(cfg_path)
+    _, model_flat, optim_flat = _flax_state_with_moments(cfg)
+    optim_torch = export_adam_optim_state(
+        optim_flat, model_flat, lr=float(cfg.optimization.lr),
+        weight_decay=0.0)
+    base = str(tmp_path / "testrun_latest.pt")
+    save_torch_reference_checkpoint(
+        base, {"epoch": 7, "total_steps": 1234, "val_total": 3.25,
+               "model_state": model_flat},
+        num_shards=2, optim_state=optim_torch)
+
+    monkeypatch.syspath_prepend(ref_src)
+    monkeypatch.setenv("CONFIG_PATH", cfg_path)
+    ref_cp = importlib.import_module("utils.brain_tumor_utils.config_parser")
+    ref_cp._config_cache = None  # module-global singleton; make ours win
+    ref_beta_vae = importlib.import_module("models.beta_vae")
+    ref_callbacks = importlib.import_module("training.callbacks")
+    ref_io = importlib.import_module("utils.brain_tumor_utils.io")
+
+    # --- the reference's exact resume sequence (train.py:266-280) ---
+    ref_model = ref_beta_vae.BetaVAE()
+    optimizer = ref_callbacks.get_optimizer(ref_model)
+    payload = ref_io.load_sharded_checkpoint(base, map_location="cpu")
+    ref_model.load_state_dict(payload.get("model_state", payload))
+    assert "optim_state" in payload
+    optimizer.load_state_dict(payload["optim_state"])
+    assert payload.get("epoch") == 7 and payload.get("total_steps") == 1234
+
+    # Adam state carries OUR moments: exp_avg == 0.5·p / exp_avg_sq == p²
+    # for every reference parameter (p was loaded from the same export, so
+    # this closes registration order + layout conversion + torch mapping)
+    n_checked = 0
+    for p in ref_model.parameters():
+        st = optimizer.state[p]
+        assert float(st["step"]) == 1234.0
+        torch.testing.assert_close(st["exp_avg"], 0.5 * p.data,
+                                   rtol=1e-6, atol=1e-7)
+        torch.testing.assert_close(st["exp_avg_sq"], p.data * p.data,
+                                   rtol=1e-5, atol=1e-8)
+        n_checked += 1
+    assert n_checked == len(optim_torch["state"])
+
+    # the moments actively drive the next update: with zero gradients a
+    # fresh Adam is a no-op, a resumed one moves by -lr·mû/(√ν̂+ε).  Flax
+    # zero-initializes biases, so their mu=0.5·p moments are legitimately
+    # zero — require movement only where the moments are nonzero.
+    before = [p.detach().clone() for p in ref_model.parameters()]
+    for p in ref_model.parameters():
+        p.grad = torch.zeros_like(p)
+    optimizer.step()
+    stuck = [bool(b.abs().sum() > 0) and torch.equal(b, p.detach())
+             for b, p in zip(before, ref_model.parameters())]
+    assert not any(stuck), "loaded moments did not drive the optimizer update"
+    assert sum(bool(b.abs().sum() > 0) for b in before) > 0
