@@ -171,26 +171,52 @@ def _e2e_images_per_sec(epochs: int = 6, per_class_train: int = 1456,
     }
     print(json.dumps({"e2e_epoch_breakdown": breakdown}), file=sys.stderr)
     steady = walls[1:]
-    # Headline = POOLED rate over the whole steady span: total images /
-    # total wall seconds, exactly how the reference's 61 img/s baseline is
-    # computed from its log timestamps (BASELINE.md).  Jitter history
-    # (VERDICT r3 #3): the old per-epoch val-pull stall made 6-epoch means
-    # swing ~10% run-to-run with relay RTT; epoch rotation removed that
-    # stalled term, so the pooled mean is now the stable estimator.  A
-    # median-of-3-windows variant was implemented and measured (r4): with
-    # rotation, an entire epoch's train chunk (182 steps ≤ K=192 ⇒ one
-    # chunk/epoch) is dispatched from the PREVIOUS epoch's tail, so wall
-    # attribution shifts whole chunks across window boundaries — window
-    # rates spread ±18% (3,940/3,972/5,359) around a 4,333 pooled truth and
-    # the median is biased ~8% low.  Window rates still ride along in the
-    # breakdown as an attribution diagnostic, NOT as the estimator.
+    # Headline (round 5) = POOLED rate over CONTIGUOUS last-train-chunk
+    # drain stamps: total images / (last stamp − first steady stamp) —
+    # ground-truth wall clock, exactly how the reference's 61 img/s baseline
+    # is computed from its log timestamps (BASELINE.md).  Estimator history:
+    # r3 removed the per-epoch val-pull stall (±10% swings); r4 pooled
+    # per-epoch `epoch_wall_seconds`, but those phase timers miss host time
+    # BETWEEN phases (epoch_end logging, early-stop, schedule bookkeeping)
+    # — measured r5: the walls-based rate claimed 4,708 img/s on a run whose
+    # steady-state ceiling was 4,342 (physically impossible for a number
+    # that includes tails) while the stamp-pooled truth was 3,970.  Drain
+    # stamps are absolute and monotonic, so pooling telescopes every gap in.
+    # The first span is dropped when there are spans to spare: epoch 1's
+    # tail holds the val/panel cold compiles.
     n_win = 3 if len(steady) >= 3 else 1
     per_win = len(steady) // n_win
-    breakdown["window_rates"] = sorted(
-        round(n_train * per_win /
-              sum(steady[w * per_win:(w + 1) * per_win]), 1)
-        for w in range(n_win))
-    return n_train * len(steady) / sum(steady), breakdown
+    rate_walls = n_train * len(steady) / sum(steady)
+    stamps = [t.get("t_drain_mono") for t in tails]
+    if all(s is not None for s in stamps) and len(stamps) >= 2:
+        ds = stamps[1:] if len(stamps) >= 3 else stamps
+        span_wall = [ds[i + 1] - ds[i] for i in range(len(ds) - 1)]
+        n_spans = len(span_wall)
+        n_win_eff = min(n_win, n_spans)
+        per_win = max(1, n_spans // n_win_eff)
+        # Per-span rates are HOST-stamp attributed and can jitter by
+        # construction: each stamp carries the single-core host's current
+        # lag behind the device (the host drifts for an epoch or two, then
+        # catches up in a burst), so a single span can come out shorter than
+        # the device could physically compute an epoch.  Only the pooled
+        # rate (lag deltas telescoped away) is a stability signal — keyed
+        # `_hostjitter` so nobody reads the per-span values as one
+        # (VERDICT r4 weak #5).
+        breakdown["span_rates_hostjitter"] = sorted(
+            round(n_train * per_win /
+                  sum(span_wall[w * per_win:(w + 1) * per_win]), 1)
+            for w in range(n_win_eff))
+        rate = n_train * n_spans / (ds[-1] - ds[0])
+        # the phase-timer rate rides along as a diagnostic: rate_walls >>
+        # headline means host time is leaking between phase timers
+        breakdown["walls_rate_images_per_sec"] = round(rate_walls, 1)
+    else:  # pre-stamp logs: fall back to the (gap-blind) phase-timer rate
+        breakdown["span_rates_hostjitter"] = sorted(
+            round(n_train * per_win /
+                  sum(steady[w * per_win:(w + 1) * per_win]), 1)
+            for w in range(n_win))
+        rate = rate_walls
+    return rate, breakdown
 
 
 def _pallas_canary():
@@ -549,19 +575,24 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     img_per_sec = args.batch_size * K * n_chunks / dt
-    if args.verbose:
-        from betavae_tpu.utils.flops import (speed_of_light_ms,
-                                             train_step_flops, utilization)
+    # MFU / speed-of-light fractions in the DEFAULT artifact (VERDICT r4 #2):
+    # pure arithmetic on the already-measured steady step, computed always so
+    # the driver's BENCH_r*.json tracks utilization round-over-round.  Peak
+    # rates model the v5e (197 bf16 TFLOPS / 819 GB/s); on the CPU-fallback
+    # path the numbers are meaningless and the "backend" field says so.
+    from betavae_tpu.utils.flops import (speed_of_light_ms, train_step_flops,
+                                         utilization)
 
-        fl = train_step_flops(args.image_size, 1, 64, 64, 4,
-                              batch_size=args.batch_size)
-        step_s = dt / (K * n_chunks)
-        util = utilization(step_s, fl["train_flops_per_step"])
-        n_params = sum(int(np.prod(p.shape)) for p in
-                       jax.tree_util.tree_leaves(state.params))
-        sol = speed_of_light_ms(args.image_size, 1, 64, 64, 4,
-                                batch_size=args.batch_size,
-                                param_count=n_params)
+    fl = train_step_flops(args.image_size, 1, 64, 64, 4,
+                          batch_size=args.batch_size)
+    step_s = dt / (K * n_chunks)
+    util = utilization(step_s, fl["train_flops_per_step"])
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    sol = speed_of_light_ms(args.image_size, 1, 64, 64, 4,
+                            batch_size=args.batch_size, param_count=n_params)
+    sol_fraction = round(sol["sol_step_ms"] / (step_s * 1e3), 4)
+    if args.verbose:
         from betavae_tpu.utils.flops import data_parallel_scaling
 
         dp8 = data_parallel_scaling(step_s * 1e3, n_params, 8)
@@ -569,8 +600,7 @@ def main():
                           **{k: v for k, v in fl.items() if k != "layers"},
                           **util,
                           "sol_step_ms": sol["sol_step_ms"],
-                          "sol_fraction": round(
-                              sol["sol_step_ms"] / (step_s * 1e3), 4),
+                          "sol_fraction": sol_fraction,
                           "dp8_pred_efficiency":
                               dp8["efficiency_overlapped"],
                           "dp8_pred_comm_ms": dp8["comm_ms"]}),
@@ -642,6 +672,10 @@ def main():
         "steady_state_images_per_sec": round(img_per_sec, 2),
         "vs_baseline_steady_state": round(
             img_per_sec / BASELINE_IMG_PER_SEC, 3),
+        "step_ms": round(step_s * 1e3, 3),
+        "mxu_utilization": util["mxu_utilization"],
+        "sol_step_ms": sol["sol_step_ms"],
+        "sol_fraction": sol_fraction,
         "e2e_images_per_sec": e2e,
         "vs_baseline_e2e": vs_e2e,
         "e2e_epoch_breakdown": e2e_breakdown,

