@@ -825,3 +825,56 @@ def test_reference_resume_consumes_exported_optimizer(tmp_path,
              for b, p in zip(before, ref_model.parameters())]
     assert not any(stuck), "loaded moments did not drive the optimizer update"
     assert sum(bool(b.abs().sum() > 0) for b in before) > 0
+
+
+def test_lr_at_save_matches_reference_scheduler(demo_config_factory,
+                                                monkeypatch):
+    """The lr synthesized into exported ``param_groups`` must equal what the
+    reference's own scheduler holds at save time.  The reference steps its
+    cosine scheduler at the END of each epoch's train phase, BEFORE
+    ``save_latest`` (``src/training/train.py:375-376,452``) — so a
+    checkpoint saved at (1-based) epoch e carries cosine position e; StepLR
+    steps once per batch (``train.py:331-332``)."""
+    import importlib
+    import sys
+
+    import torch
+
+    from betavae_tpu.config import get_config, reset_config_cache
+
+    script_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    monkeypatch.syspath_prepend(script_dir)
+    mod = importlib.import_module("export_torch_checkpoint")
+
+    epochs = 4
+    path = demo_config_factory(**{"debug.epochs": epochs})
+    reset_config_cache()
+    cfg = get_config(path)
+    base_lr = float(cfg.optimization.lr)
+    assert str(cfg.optimization.scheduler).lower() == "cosine"
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr)
+    sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=epochs)
+    for epoch in range(1, epochs + 1):
+        sch.step()  # the reference steps before saving epoch `epoch`
+        np.testing.assert_allclose(
+            mod._lr_at_save(cfg, epoch, total_steps=epoch * 6),
+            opt.param_groups[0]["lr"], rtol=1e-12,
+            err_msg=f"cosine position after saving epoch {epoch}")
+
+    # StepLR: per-batch stepping — lr depends on total_steps, not epoch
+    path = demo_config_factory(**{"debug.epochs": epochs,
+                                  "optimization.scheduler": "step"})
+    reset_config_cache()
+    cfg = get_config(path)
+    opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base_lr)
+    sch = torch.optim.lr_scheduler.StepLR(opt, step_size=30, gamma=0.5)
+    for step in range(1, 100):
+        sch.step()
+        if step in (1, 29, 30, 59, 60, 95):
+            np.testing.assert_allclose(
+                mod._lr_at_save(cfg, 1, total_steps=step),
+                opt.param_groups[0]["lr"], rtol=1e-12,
+                err_msg=f"StepLR after {step} batches")
