@@ -43,6 +43,10 @@ class EarlyStopping:
             return
         if self.best is None:
             self.best = value
+            # the non-finite branch above can run before any best exists
+            # (guard off, NaN on epoch 1): the first finite value is an
+            # improvement, so the bad-epoch count must restart with it
+            self.num_bad = 0
             return
         improve = (
             value < self.best - self.min_delta
@@ -230,7 +234,13 @@ class CheckpointManager:
 
         if not math.isfinite(monitor_value):
             # never ingest a non-finite monitor: it would become best_value
-            # on the first epoch and nothing ever compares better than NaN
+            # on the first epoch and nothing ever compares better than NaN.
+            # Loudly: with detect_anomalies off this is the only trace of
+            # why <run_id>_best.pt was never refreshed this epoch.
+            import logging
+            logging.getLogger("beta_vae_se").warning(
+                "save_best: non-finite monitor %r at epoch %d — skipping "
+                "best-checkpoint update", monitor_value, epoch)
             return None
         if self.best_value is None or monitor_value < self.best_value:
             self.best_value = monitor_value

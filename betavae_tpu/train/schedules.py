@@ -115,9 +115,17 @@ def lr_at(epoch: int, step_in_run: int, *, base_lr: float, scheduler: str,
     raise ValueError("unsupported scheduler")
 
 
+def resolve_total_epochs(cfg) -> int:
+    """The run's epoch budget: ``debug.epochs`` when debug mode is enabled,
+    else ``training.epochs`` — the single definition every consumer
+    (schedules, lr synthesis for torch export) must share so they cannot
+    diverge on what "total epochs" means."""
+    debug_enabled = bool(get(get(cfg, "debug", None), "enabled", False))
+    return int(cfg.debug.epochs if debug_enabled else cfg.training.epochs)
+
+
 def schedules_from_config(cfg=None, total_epochs: int | None = None):
     cfg = cfg or get_config()
     if total_epochs is None:
-        debug_enabled = bool(get(get(cfg, "debug", None), "enabled", False))
-        total_epochs = (cfg.debug.epochs if debug_enabled else cfg.training.epochs)
+        total_epochs = resolve_total_epochs(cfg)
     return BetaSchedule(cfg, total_epochs), CapacitySchedule(cfg, total_epochs)

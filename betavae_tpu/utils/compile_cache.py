@@ -79,16 +79,64 @@ def configured_platform() -> str:
     return plats.split(",")[0].strip().lower()
 
 
+def _resolved_backend_if_initialized() -> str | None:
+    """The ACTUAL backend platform, but only if one is already initialized.
+
+    Never initializes a backend itself (see ``configured_platform``); when
+    jax has already committed to a backend, that resolution is ground truth
+    and beats any guess from the configured platform list.
+    """
+    try:
+        from jax._src import xla_bridge
+        if getattr(xla_bridge, "_backends", None):
+            import jax
+            return jax.default_backend()
+    except Exception:  # pragma: no cover - jax internals moved
+        pass
+    return None
+
+
+def _noncpu_plugin_discoverable() -> bool:
+    """Whether auto-detect ('' platform list) can resolve to a non-CPU
+    backend: a PJRT plugin package or entry point must be importable.
+    Checked WITHOUT initializing a backend."""
+    import importlib.util
+
+    try:
+        if importlib.util.find_spec("jax_plugins") is not None:
+            return True
+        if importlib.util.find_spec("libtpu") is not None:
+            return True
+    except (ImportError, ValueError):  # pragma: no cover
+        pass
+    try:
+        from importlib.metadata import entry_points
+        eps = entry_points()
+        group = (eps.select(group="jax_plugins") if hasattr(eps, "select")
+                 else eps.get("jax_plugins", []))  # type: ignore[attr-defined]
+        return bool(list(group))
+    except Exception:  # pragma: no cover
+        return False
+
+
 def enable_compilation_cache(cache_dir: str | None = None, *,
                              force: bool = False) -> None:
     import jax
 
-    if not force and configured_platform() == "cpu":
+    if not force:
         # CPU cache entries are host AOT machine code: loading one on a host
         # with fewer ISA features is a latent SIGILL jax only warns about,
         # and even same-host loads warn on XLA tuning pseudo-features (see
         # module docstring).  CPU recompiles are cheap; skip the cache.
-        return
+        # Ground truth first (backend already committed), then the
+        # configured list, then — for auto-detect ('') — whether a non-CPU
+        # plugin is even discoverable: if not, auto-detect WILL land on the
+        # CPU backend and the cache must stay off (r5 review finding).
+        plat = _resolved_backend_if_initialized() or configured_platform()
+        if plat == "cpu":
+            return
+        if plat == "" and not _noncpu_plugin_discoverable():
+            return
     base = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
             or _DEFAULT_DIR)
     # always scope by host features — an explicitly-passed directory shared

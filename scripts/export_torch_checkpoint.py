@@ -53,12 +53,10 @@ def _lr_at_save(cfg, epoch: int, total_steps: int) -> float:
     checkpoint saved at epoch e carries cosine position e, not e-1; StepLR
     steps per batch (``train.py:331-332``).
     """
-    from betavae_tpu.train.schedules import lr_at
+    from betavae_tpu.train.schedules import lr_at, resolve_total_epochs
 
     sch = str(cfg.optimization.scheduler).lower()
-    debug_enabled = bool(get(get(cfg, "debug", None), "enabled", False))
-    total_epochs = int(cfg.debug.epochs if debug_enabled
-                       else cfg.training.epochs)
+    total_epochs = resolve_total_epochs(cfg)
     return lr_at(epoch + (1 if sch == "cosine" else 0), total_steps,
                  base_lr=float(cfg.optimization.lr), scheduler=sch,
                  total_epochs=total_epochs)

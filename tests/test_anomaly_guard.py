@@ -169,3 +169,56 @@ def test_chunk_guard_fires_at_exact_step(demo_config_factory, monkeypatch):
     with pytest.raises(FloatingPointError,
                        match=r"non-finite training loss at step 4 "):
         loop.train()
+
+
+def test_early_stopping_bad_count_resets_when_first_finite_becomes_best():
+    """A non-finite epoch before any best exists must not leave a stale
+    bad-epoch count behind: the first finite monitor is an improvement, so
+    patience restarts with it (r5 review finding — previously one ordinary
+    non-improving epoch after recovery could trip patience=2)."""
+    from betavae_tpu.train.callbacks import EarlyStopping
+
+    early = EarlyStopping(patience=2)
+    early.update(float("nan"))
+    assert early.num_bad == 1 and early.best is None
+    early.update(5.0)                    # recovery: becomes best
+    assert early.best == 5.0 and early.num_bad == 0
+    early.update(5.05)                   # ONE ordinary bad epoch
+    assert early.num_bad == 1 and not early.should_stop
+    early.update(5.05)
+    assert early.should_stop             # now patience is genuinely spent
+
+
+def test_save_best_nonfinite_skip_is_loud(demo_config_factory):
+    """The non-finite skip must leave a trace: with the loop guard off it is
+    the only explanation for <run_id>_best.pt never refreshing."""
+    import logging
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.train.callbacks import CheckpointManager
+
+    get_config(demo_config_factory())
+    ckpt = CheckpointManager(num_shards=2)
+    state = SimpleNamespace(model_variables=lambda: {"w": np.zeros(2)},
+                            opt_state={"m": np.zeros(2)})
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    # the project logger does not propagate to root (caplog misses it):
+    # attach a handler directly
+    logger = logging.getLogger("beta_vae_se")
+    h = Capture(level=logging.WARNING)
+    logger.addHandler(h)
+    try:
+        assert ckpt.save_best(state, 7, 10, {"val_total": float("nan")},
+                              monitor_value=float("nan")) is None
+    finally:
+        logger.removeHandler(h)
+    assert any("non-finite monitor" in m and "epoch 7" in m
+               for m in records)

@@ -176,3 +176,21 @@ def test_headline_prefers_e2e_and_falls_back():
         assert h["metric"] == "train_images_per_sec_per_chip_128px_bs32"
         assert h["value"] == 4320.0
         assert h["vs_baseline"] == round(4320.0 / BASELINE_IMG_PER_SEC, 3)
+
+
+def test_windowed_rates_cover_all_spans():
+    """Window bounds must cover every span — the last window absorbs the
+    remainder, so a final-epoch anomaly always shows in the diagnostic."""
+    from bench import _windowed_rates
+
+    # 4 spans into 3 windows: old equal-size logic dropped span 3 entirely;
+    # the slow last span (10 s vs 1 s) must surface as a visibly lower rate
+    rates = _windowed_rates([1.0, 1.0, 1.0, 10.0], n_train=100, n_win=3)
+    assert len(rates) == 3
+    assert rates[0] == round(100 * 2 / 11.0, 1)   # spans 2+3 pooled
+    assert rates[1] == rates[2] == 100.0
+    # degenerate shapes: fewer spans than windows, and a single span
+    assert _windowed_rates([2.0, 2.0], 100, 3) == [50.0, 50.0]
+    assert _windowed_rates([4.0], 100, 3) == [25.0]
+    # exact division unchanged: 3 spans / 3 windows = one span each
+    assert _windowed_rates([1.0, 2.0, 4.0], 100, 3) == [25.0, 50.0, 100.0]

@@ -82,3 +82,40 @@ def test_host_fingerprint_tracks_isa_features(tmp_path):
     # the real host resolves to a 12-hex-char scope
     real = host_fingerprint()
     assert len(real) == 12 and int(real, 16) >= 0
+
+
+def test_compilation_cache_auto_detect_platform(tmp_path, monkeypatch):
+    """Auto-detect ('' platform list) must not enable the cache when it
+    would resolve to the CPU backend (r5 review finding): ground truth from
+    an already-initialized backend wins, then plugin discoverability."""
+    import jax
+
+    from betavae_tpu.utils import compile_cache as cc
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setattr(cc, "configured_platform", lambda: "")
+        # tests run with the CPU backend initialized: ground truth says cpu,
+        # so even an auto-detect platform list keeps the cache off
+        d1 = str(tmp_path / "gt")
+        cc.enable_compilation_cache(d1)
+        assert not os.path.exists(d1)
+        # no initialized backend + no discoverable non-CPU plugin: auto-
+        # detect WILL land on cpu — cache must stay off
+        monkeypatch.setattr(cc, "_resolved_backend_if_initialized",
+                            lambda: None)
+        monkeypatch.setattr(cc, "_noncpu_plugin_discoverable", lambda: False)
+        d2 = str(tmp_path / "nochip")
+        cc.enable_compilation_cache(d2)
+        assert not os.path.exists(d2)
+        # a discoverable plugin flips the decision: cache on, host-scoped
+        monkeypatch.setattr(cc, "_noncpu_plugin_discoverable", lambda: True)
+        d3 = str(tmp_path / "chip")
+        cc.enable_compilation_cache(d3)
+        scoped = os.path.join(d3, f"host-{cc.host_fingerprint()}")
+        assert os.path.isdir(scoped)
+        assert jax.config.jax_compilation_cache_dir == scoped
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+    # this image ships the libtpu plugin package: discoverability is real
+    assert cc._noncpu_plugin_discoverable()
