@@ -38,7 +38,11 @@ import jax
 import numpy as np
 
 _META_KEY = "__meta__"
-_ARRAY_SECTIONS = ("model_state", "optim_state")
+# torch_adam_moments rides as an array section so resharding a torch-origin
+# checkpoint keeps the imported optimizer moments (r5 review finding — they
+# were silently dropped); stored flat as mu/<path>, nu/<path> + a count meta
+_ARRAY_SECTIONS = ("model_state", "optim_state", "torch_adam_moments")
+_MOMENTS_COUNT_KEY = "torch_adam_moments_count"
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +224,14 @@ def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):
     if num_shards < 1:
         num_shards = 1
 
+    payload = dict(payload)
+    moments = payload.pop("torch_adam_moments", None)
+    if moments is not None:
+        payload["torch_adam_moments"] = {
+            f"{m}/{k}": v for m in ("mu", "nu")
+            for k, v in (moments.get(m) or {}).items()}
+        payload[_MOMENTS_COUNT_KEY] = int(moments.get("count", 0))
+
     sections = {}
     for sec in _ARRAY_SECTIONS:
         state = payload.get(sec) or {}
@@ -234,6 +246,14 @@ def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):
         for k, v in payload.items()
         if k not in _ARRAY_SECTIONS and _json_scalar(v)
     }
+    dropped = [k for k in payload
+               if k not in _ARRAY_SECTIONS and not _json_scalar(payload[k])]
+    if dropped:
+        import warnings
+        warnings.warn(
+            f"save_sharded_checkpoint: dropping non-serializable payload "
+            f"entries {dropped} — they will NOT survive a load of "
+            f"{base_path}")
 
     paths = _shard_paths(base_path, num_shards)
     for shard_idx, shard_path in enumerate(paths):
@@ -245,6 +265,13 @@ def save_sharded_checkpoint(base_path: str, payload: dict, num_shards: int = 2):
         meta["shard_id"] = shard_idx
         meta["num_shards"] = num_shards
         _write_shard(shard_path, arrays, meta)
+    # remove STALE higher-index shards from a previous wider save (e.g. an
+    # in-place reshard 4->2): a later load globs every shard file, and a
+    # leftover _shard2/_shard3 would silently merge old-epoch arrays over
+    # the fresh ones (r5 review finding)
+    for stale in discover_shards(base_path):
+        if stale not in paths:
+            os.remove(stale)
     if os.path.exists(base_path):
         os.remove(base_path)
     return paths
@@ -271,30 +298,76 @@ def load_sharded_checkpoint(base_path: str, num_shards: int | None = None) -> di
     if shard_paths and all(os.path.exists(p) for p in shard_paths):
         merged = {sec: {} for sec in _ARRAY_SECTIONS}
         meta = {}
+        seen_meta = []
         for p in shard_paths:
             arrays, shard_meta = _read_shard(p)
             for key, arr in arrays.items():
                 sec, _, rest = key.partition("/")
                 merged.setdefault(sec, {})[rest] = arr
+            seen_meta.append((p, shard_meta))
             if not meta:
                 meta = {
                     k: v
                     for k, v in shard_meta.items()
                     if k not in ("shard_id", "num_shards")
                 }
+        _validate_shard_set(shard_paths, seen_meta)
         out = dict(meta)
         for sec in _ARRAY_SECTIONS:
             if merged.get(sec):
                 out[sec] = merged[sec]
-        return _maybe_convert_torch_payload(out)
+        return _maybe_convert_torch_payload(_renest_moments(out))
     if os.path.exists(base_path):
         arrays, meta = _read_shard(base_path)
         out = dict(meta)
         for key, arr in arrays.items():
             sec, _, rest = key.partition("/")
             out.setdefault(sec, {})[rest] = arr
-        return _maybe_convert_torch_payload(out)
+        return _maybe_convert_torch_payload(_renest_moments(out))
     raise FileNotFoundError(f"No checkpoint found at {base_path} or shards")
+
+
+def _validate_shard_set(shard_paths, seen_meta) -> None:
+    """Cross-shard consistency check (r5 review finding).
+
+    A hard kill between the per-shard ``os.replace`` calls, or a stale file
+    from an earlier wider save, produces a mixed-epoch shard set that would
+    otherwise merge silently.  Every shard duplicates the metadata scalars
+    (the reference does too, ``io.py:32-35``), so equality of ``epoch`` /
+    ``total_steps`` — and of the recorded ``num_shards`` vs the discovered
+    file count, when present — is a cheap invariant.
+    """
+    declared = [(p, m.get("num_shards")) for p, m in seen_meta
+                if m.get("num_shards") is not None]
+    for p, n in declared:
+        if int(n) != len(shard_paths):
+            raise ValueError(
+                f"checkpoint shard set is inconsistent: {p} records "
+                f"num_shards={n} but {len(shard_paths)} shard files were "
+                f"found — a stale shard from an earlier save is mixed in; "
+                f"delete the stale files or reshard explicitly")
+    for key in ("epoch", "total_steps"):
+        vals = {p: m[key] for p, m in seen_meta if key in m}
+        if len(set(vals.values())) > 1:
+            raise ValueError(
+                f"checkpoint shard set is torn: {key} differs across shards "
+                f"({vals}) — an interrupted save mixed epochs; resume from "
+                f"the best checkpoint or an earlier epoch instead")
+
+
+def _renest_moments(out: dict) -> dict:
+    """Rebuild the nested ``torch_adam_moments`` payload from its flat
+    array-section form (inverse of the save-side flattening)."""
+    flat = out.pop("torch_adam_moments", None)
+    if flat:
+        out["torch_adam_moments"] = {
+            "count": int(out.pop(_MOMENTS_COUNT_KEY, 0)),
+            "mu": {k[len("mu/"):]: v for k, v in flat.items()
+                   if k.startswith("mu/")},
+            "nu": {k[len("nu/"):]: v for k, v in flat.items()
+                   if k.startswith("nu/")},
+        }
+    return out
 
 
 def _maybe_convert_torch_payload(payload: dict) -> dict:

@@ -29,6 +29,15 @@ def data_parallel_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                # never silently truncate: the caller believes they run
+                # n-way data parallel with per-device batch B/n — running
+                # B/len(devices) instead skews memory and throughput
+                # expectations with no error (r5 review finding)
+                raise ValueError(
+                    f"requested a {n_devices}-device data mesh but only "
+                    f"{len(devices)} device(s) are visible "
+                    f"({[str(d) for d in devices]})")
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

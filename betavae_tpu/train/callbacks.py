@@ -162,7 +162,8 @@ class CheckpointManager:
                 if self._pending_error is None:
                     self._pending_error = e
 
-    def _save(self, tag: str, path: str, payload: dict):
+    def _save(self, tag: str, path: str, payload: dict,
+              presnapshot: bool = False):
         if not self.async_io:
             out = save_sharded_checkpoint(path, payload,
                                           num_shards=self.num_shards)
@@ -186,12 +187,17 @@ class CheckpointManager:
         # dispatch, so they read the pre-donation values.  ONE jitted
         # program copies every leaf — per-leaf jnp.copy would pay one relay
         # dispatch per leaf (~400 dispatches per save on the flagship state)
-        dev = {sec: {k: v for k, v in payload[sec].items()
-                     if isinstance(v, jax.Array)}
-               for sec in ("model_state", "optim_state")}
-        copies = _snapshot_tree(dev)
-        for sec in ("model_state", "optim_state"):
-            payload[sec] = {**payload[sec], **copies[sec]}
+        # presnapshot: the caller's state is ALREADY a fresh device snapshot
+        # (the rotated train loop snapshots once per epoch for its own
+        # rollback) — copying it again would burn an extra full-state HBM
+        # copy + relay dispatch per save for nothing (r5 review finding)
+        if not presnapshot:
+            dev = {sec: {k: v for k, v in payload[sec].items()
+                         if isinstance(v, jax.Array)}
+                   for sec in ("model_state", "optim_state")}
+            copies = _snapshot_tree(dev)
+            for sec in ("model_state", "optim_state"):
+                payload[sec] = {**payload[sec], **copies[sec]}
         with self._lock:
             if tag in self._queue:
                 self.coalesced += 1
@@ -203,10 +209,12 @@ class CheckpointManager:
                 self._worker.start()
         return path
 
-    def save_latest(self, state, epoch: int, total_steps: int, extra: dict):
+    def save_latest(self, state, epoch: int, total_steps: int, extra: dict,
+                    presnapshot: bool = False):
         path = os.path.join(self.dir, f"{self.run_id}_latest.pt")
         return self._save("latest", path,
-                          self._payload(state, epoch, total_steps, extra))
+                          self._payload(state, epoch, total_steps, extra),
+                          presnapshot=presnapshot)
 
     def restore_best_history(self) -> None:
         """Re-arm ``save_best`` with the historical best after a resume.
@@ -229,7 +237,7 @@ class CheckpointManager:
             self.best_value = float(monitor)
 
     def save_best(self, state, epoch: int, total_steps: int, extra: dict,
-                  monitor_value: float):
+                  monitor_value: float, presnapshot: bool = False):
         import math
 
         if not math.isfinite(monitor_value):
@@ -248,5 +256,6 @@ class CheckpointManager:
             # coalescing is monotone-safe here: a queued best snapshot is
             # only ever replaced by a strictly better one
             return self._save("best", path,
-                              self._payload(state, epoch, total_steps, extra))
+                              self._payload(state, epoch, total_steps, extra),
+                              presnapshot=presnapshot)
         return None

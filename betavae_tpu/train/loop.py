@@ -49,7 +49,7 @@ from ..models.losses import LossSpec, compute_loss, loss_spec_from_config
 from ..ops.reparam import reparameterize_and_kl
 from ..ops.pallas_elbo import (fused_reparam_kl, key_to_seed,
                                tpu_backend_available)
-from .callbacks import CheckpointManager, EarlyStopping
+from .callbacks import CheckpointManager, EarlyStopping, _snapshot_tree
 from .optim import build_optimizer
 from .schedules import lr_at, schedules_from_config
 
@@ -158,16 +158,17 @@ def _scalar_metrics(losses, mask) -> dict:
     }
 
 
-def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
-                    use_capacity: bool, lpips_fn=None, has_bn: bool = False,
-                    donate: bool = True, host_feed: bool = False):
-    """Build the jitted fused train step.
+def _build_step_fn(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
+                   use_capacity: bool, lpips_fn, has_bn: bool,
+                   host_feed: bool):
+    """The ONE fused train-step body: gather/feed → augment → fwd+loss →
+    value_and_grad → lr-injected optax update → TrainState rebuild.
 
-    Signature: ``(state, images_u8, idx, mask, key, sched) -> (state, metrics)``
-    where ``sched`` is a dict of traced f32 scalars
-    ``{beta, capacity, capacity_weight, free_bits, lr}``.  With
-    ``host_feed=True`` (dataset larger than the HBM budget) ``images_u8`` is
-    the pre-gathered ``(B, H, W, C)`` batch itself and ``idx`` is unused.
+    Shared by :func:`make_train_step` (jitted directly, remainder batches)
+    and :func:`make_train_multi_step` (scanned K times per dispatch) so the
+    two programs can never silently diverge — the scanned path runs most
+    steps, the single-step path only the last ``n % K``, where a one-sided
+    edit would be hard to notice.
     """
 
     def step(state: TrainState, images, idx, mask, key, sched):
@@ -208,6 +209,23 @@ def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
         )
         return new_state, _scalar_metrics(losses, mask)
 
+    return step
+
+
+def make_train_step(model: BetaVAE, tx, spec: LossSpec, *, aug_kwargs: dict,
+                    use_capacity: bool, lpips_fn=None, has_bn: bool = False,
+                    donate: bool = True, host_feed: bool = False):
+    """Build the jitted fused train step.
+
+    Signature: ``(state, images_u8, idx, mask, key, sched) -> (state, metrics)``
+    where ``sched`` is a dict of traced f32 scalars
+    ``{beta, capacity, capacity_weight, free_bits, lr}``.  With
+    ``host_feed=True`` (dataset larger than the HBM budget) ``images_u8`` is
+    the pre-gathered ``(B, H, W, C)`` batch itself and ``idx`` is unused.
+    """
+    step = _build_step_fn(model, tx, spec, aug_kwargs=aug_kwargs,
+                          use_capacity=use_capacity, lpips_fn=lpips_fn,
+                          has_bn=has_bn, host_feed=host_feed)
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
@@ -227,39 +245,9 @@ def make_train_multi_step(model: BetaVAE, tx, spec: LossSpec, *,
     alongside the indices.
     """
 
-    def one(state, images, idx, mask, key, sched):
-        akey, rkey = jax.random.split(key)
-        if host_feed:
-            x = images.astype(jnp.float32) / 255.0
-        else:
-            x = gather_batch(images, idx)
-        x = augment_batch(akey, x, **aug_kwargs)
-
-        def loss_fn(params):
-            variables = {"params": params}
-            if has_bn:
-                variables["batch_stats"] = state.batch_stats
-            losses, new_bs = _forward_with_loss(
-                model, variables, x, rkey, spec=spec, sched=sched, mask=mask,
-                train=True, use_capacity=use_capacity, lpips_fn=lpips_fn,
-                mutable_bn=has_bn,
-            )
-            return losses["total"], (losses, new_bs)
-
-        (_, (losses, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params)
-        opt_state = state.opt_state._replace(
-            hyperparams={**state.opt_state.hyperparams,
-                         "learning_rate": sched["lr"]}
-        )
-        updates, new_opt_state = tx.update(grads, opt_state, state.params)
-        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
-                                            state.params, updates)
-        new_state = TrainState(
-            params=new_params, opt_state=new_opt_state,
-            batch_stats=new_bs if has_bn else state.batch_stats)
-        return new_state, _scalar_metrics(losses, mask)
+    one = _build_step_fn(model, tx, spec, aug_kwargs=aug_kwargs,
+                         use_capacity=use_capacity, lpips_fn=lpips_fn,
+                         has_bn=has_bn, host_feed=host_feed)
 
     def multi(state, images, idx_kb, mask_kb, keys_k, sched_k):
         if host_feed:
@@ -615,7 +603,8 @@ def train(resume: str = "none", mesh=None):
     # device-side TrainState snapshot in ONE dispatch: fresh buffers the
     # checkpoint saves (and an early-stop rollback) can read after the
     # donated train buffers have been overwritten by a rotated-in chunk
-    snap_state = jax.jit(lambda t: jax.tree_util.tree_map(jnp.copy, t))
+    # (shared with CheckpointManager — same jitted copy-every-leaf program)
+    snap_state = _snapshot_tree
 
     # K consecutive steps per XLA dispatch (scan) amortize host/dispatch
     # latency; the per-step logging protocol is reconstructed from the
@@ -780,6 +769,7 @@ def train(resume: str = "none", mesh=None):
     # early stopping discards the speculative chunk by restoring it.
     rotate = bool(get(cfg.training, "epoch_rotation", True))
     prefetch = None  # (pending chunk, plan) for the next epoch
+    no_val_warned = False
 
     run_error = None
     try:
@@ -1134,12 +1124,25 @@ def train(resume: str = "none", mesh=None):
             # pre-dispatch device snapshot instead (identical values)
             ckpt_state = snapshot if rotated else state
             ckpt_every = int(get(cfg.training, "checkpoint_every_epochs", 1))
-            if epoch % max(1, ckpt_every) == 0 or epoch == epochs:
+            saved_latest = epoch % max(1, ckpt_every) == 0 or epoch == epochs
+            if saved_latest:
                 ckpt.save_latest(ckpt_state, epoch, total_steps,
-                                 {"val_total": val_total})
-            ckpt.save_best(ckpt_state, epoch, total_steps,
-                           {"val_total": val_total},
-                           monitor_value=val_total)
+                                 {"val_total": val_total},
+                                 presnapshot=rotated)
+            # with no val batches (debug.max_val_batches: 0) val_total is a
+            # meaningless 0.0 — it must not become 'best' (epoch 1 would be
+            # frozen as best and early-stop patience would burn on a
+            # constant monitor; r5 review finding)
+            have_val = val_batches > 0
+            if have_val:
+                ckpt.save_best(ckpt_state, epoch, total_steps,
+                               {"val_total": val_total},
+                               monitor_value=val_total,
+                               presnapshot=rotated)
+            elif not no_val_warned:
+                no_val_warned = True
+                print("[VAL] no validation batches this run — best-checkpoint "
+                      "tracking and early stopping are disabled")
             ckpt_seconds = time.perf_counter() - t_ckpt
 
             # recon panel: hand the pre-dispatched forward to the background
@@ -1186,8 +1189,18 @@ def train(resume: str = "none", mesh=None):
                 "t_drain_mono": round(train_drain_mono, 6),
             }, step=total_steps, phase="epoch_end")
 
-            early.update(val_total)
+            if have_val:
+                early.update(val_total)
             if early.should_stop:
+                if not saved_latest:
+                    # the cadence gate (checkpoint_every_epochs > 1) may not
+                    # have saved THIS epoch, but the run ends here: without
+                    # a final save, '--resume latest' (which the shutdown
+                    # and anomaly messages point at) would silently replay
+                    # up to cadence-1 already-trained epochs (r5 review)
+                    ckpt.save_latest(ckpt_state, epoch, total_steps,
+                                     {"val_total": val_total},
+                                     presnapshot=rotated)
                 if rotated:
                     # the speculatively dispatched next epoch is discarded:
                     # its chunk was never drained or logged; restore the

@@ -222,3 +222,34 @@ def test_save_best_nonfinite_skip_is_loud(demo_config_factory):
         logger.removeHandler(h)
     assert any("non-finite monitor" in m and "epoch 7" in m
                for m in records)
+
+
+def test_empty_validation_disables_best_and_early_stop(demo_config_factory,
+                                                       capsys):
+    """debug.max_val_batches: 0 (skip validation): val_total would be a
+    meaningless 0.0 — it must not become 'best' or drive early stopping
+    (r5 review finding: epoch 1 froze as best and patience burned on the
+    constant monitor)."""
+    import os
+
+    from betavae_tpu.config import get_config
+    from betavae_tpu.data.demo import generate_demo_data
+    from betavae_tpu.train.loop import train
+
+    cfg_path = demo_config_factory(**{"debug.max_val_batches": 0,
+                                      "debug.epochs": 3,
+                                      "training.early_stopping_patience": 1})
+    cfg = get_config(cfg_path)
+    generate_demo_data(cfg.paths.processed_dir, train_per_class=6,
+                       test_per_class=3, size=cfg.data.image_size)
+    train()
+    out = capsys.readouterr().out
+    assert "no validation batches" in out
+    models = cfg.paths.models_dir
+    # all 3 epochs ran (patience=1 would have stopped at epoch 2 before)
+    assert os.path.exists(os.path.join(models, "testrun_latest_shard0.pt"))
+    from betavae_tpu.io.checkpoint import read_checkpoint_meta
+    meta = read_checkpoint_meta(os.path.join(models, "testrun_latest.pt"))
+    assert meta["epoch"] == 3
+    # and no best checkpoint was frozen from the bogus 0.0 monitor
+    assert not os.path.exists(os.path.join(models, "testrun_best_shard0.pt"))

@@ -84,3 +84,18 @@ def test_graft_entry_compiles():
     # 128px; lower into jit eval_shape to validate tracing without running
     shapes = jax.eval_shape(fn, *args)
     assert shapes[0].shape == ()
+
+
+def test_mesh_rejects_oversubscription():
+    """Asking for more mesh devices than exist must fail loudly, not
+    silently truncate to the available count (r5 review finding)."""
+    import jax
+    import pytest as _pytest
+
+    from betavae_tpu.parallel.mesh import data_parallel_mesh
+
+    n = len(jax.devices())
+    with _pytest.raises(ValueError, match="visible"):
+        data_parallel_mesh(n + 1)
+    # exact and smaller requests still work
+    assert data_parallel_mesh(n).devices.size == n
